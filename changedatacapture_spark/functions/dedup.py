@@ -1,0 +1,158 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact dedup (hash-groupBy), MinHash+LSH near-dup (shingle → minhash → band →
+bucket-join), a compact SimHash variant, and n-gram Jaccard verification —
+the standard toolbox for Common-Crawl-style pipelines. Everything below is
+shuffle-conscious:
+
+- shingling/exploding happens map-side;
+- minhash signatures are ``groupBy(doc).agg(min(...))`` — partial aggregation
+  (map-side combine) keeps the shuffle at one row per (doc, hash-index);
+- candidate generation is a self-join on the *band bucket* key only (the
+  classic LSH trick: candidate pairs, not all pairs — O(n·bands) shuffle
+  instead of O(n²) compare);
+- exact-Jaccard verification joins only the candidate pairs back onto the
+  shingle sets.
+
+Cross-engine determinism: all hashes are md5 hex strings compared
+lexicographically (identical in Spark and DuckDB), never engine-specific
+hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NGRAM_N = 3
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-level n-gram shingles per document (lower-cased)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, NGRAM_N)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .where(F.size(words) >= NGRAM_N)
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, hash_index, minhash) — min over md5('{i}:'||shingle).
+
+    One aggregation with map-side combine; no O(n²) anything.
+    """
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hi")
+    return (
+        sh.select("doc_id", "shingle", idx)
+        .select(
+            "doc_id",
+            "hi",
+            F.md5(F.concat(F.col("hi").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "hi")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    band key = md5 of the band's concatenated minhashes; the self-join is on
+    (band, key) so only same-bucket docs ever meet.
+    """
+    sig = minhash_signatures(shingles(df, id_col, text_col), bands * rows_per_band)
+    bandkeys = (
+        sig.withColumn("band", (F.col("hi") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("hi").cast("string"), F.col("minhash")))))).alias("bkey"))
+    )
+    a = bandkeys.alias("a")
+    b = bandkeys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |∩| / |∪| in integer
+    micro-units (cross-engine exact)."""
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") * 1_000_000 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups via content-hash groupBy (the scalable exact
+    pass; md5 per the reference's content_hash, incremental_pinecone_updater.py:139)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.encode(F.col(text_col), "utf-8")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document, SQL-expressible in both engines.
+
+    For hex position p (1..16) of md5(token), the bit is the high bit of the
+    nibble (hex digit in 8..f). simhash bit p = majority vote across tokens.
+    Packed little-endian into a BIGINT.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).withColumn("h", F.md5(F.col("token")))
+    bit_cols = []
+    for p in range(16):
+        nib = F.substring(F.col("h"), p + 1, 1)
+        vote = F.when(nib.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+        bit_cols.append(F.sum(vote).alias(f"v{p}"))
+    votes = tok.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for p in range(16):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,122 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column
+(``array<float>``), for training-data pipelines at 100 TB scale.
+
+Two paths:
+
+- :func:`cosine_topk` — brute-force cosine top-k against a single query
+  vector. JVM-side only (``zip_with`` + ``aggregate`` fold for the dot
+  product — whole-stage codegen, no UDF); the query vector is a literal, so
+  the scan is embarrassingly parallel and the only shuffle is the final
+  top-k (``orderBy().limit()`` = per-partition partial top-k + driver merge,
+  which Spark's TakeOrderedAndProject does without a full sort).
+- :func:`lsh_bucket_ann` — the scale path: sign-random-projection LSH buckets
+  so each query only probes its bucket (candidates ≪ corpus). Projection
+  hyperplanes are derived deterministically from md5 so results are
+  reproducible across runs and engines.
+
+Floating-point determinism: dot products fold left-to-right over doubles and
+are emitted as integer micro-units, so the DuckDB oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_micro(col: str, query: list[float]) -> F.Column:
+    """Left-to-right double-precision dot product vs a literal query vector,
+    in integer micro-units (cross-engine exact for identical fold order)."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    prod = F.zip_with(F.col(col).cast("array<double>"), q, lambda a, b: a * b)
+    s = F.aggregate(prod, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    return F.round(s * 1_000_000).cast("bigint")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity (vectors assumed unit-norm or
+    compared by raw dot product — consistent for ranking when the corpus is
+    normalized; for the driver's synthetic embeddings we rank by cos = dot /
+    (|a||b|), all in micro-units)."""
+    qn = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), q, lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    cos_micro = F.round(dot / (norm * F.lit(qn)) * 1_000_000).cast("bigint")
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), cos_micro.alias("cos_micro"))
+        .orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _projection_matrix(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplanes: md5-seeded Philox, independent of wall clock."""
+    seed = np.frombuffer(hashlib.md5(f"lsh:{dim}:{n_planes}".encode()).digest(), dtype=np.uint64)
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_ann(
+    emb: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: bucket = sign bits of ``n_planes`` random
+    projections; probe only the query's bucket, then exact-rank inside it.
+
+    At 10^10 vectors this turns a full-corpus scan into a ~corpus/2^planes
+    bucket scan; the bucket id is a plain integer column, so the bucketed
+    corpus can be written partitioned by ``bucket`` and partition-pruned at
+    read time (the 100 TB path).
+    """
+    planes = _projection_matrix(_dim_of(emb, vec_col), n_planes)
+
+    def bucket_expr(vc: str) -> F.Column:
+        b = F.lit(0)
+        for p in range(n_planes):
+            row = planes[p]
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vc).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in row]),
+                    lambda a, bb: a * bb,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    qvec = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum((1 << p) for p in range(n_planes) if float(planes[p] @ qvec) > 0))
+    candidates = emb.withColumn("bucket", bucket_expr(vec_col)).where(F.col("bucket") == qbucket)
+    return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0

@@ -1,0 +1,59 @@
+"""Envelope projection & hygiene filters (reference operators P1-P4,
+SURVEY.md §2.2).
+
+The reference walks the Debezium payload dict per message
+(auto_gen_rag.py:33-70) and skips tombstones (cdc_kafka_consumer.py:134-138)
+and transport errors (kafka_cdc_to_rag.py:56-58). Here those become one
+declarative projection Catalyst can push into the scan: tombstone/corrupt
+filters are plain null predicates (pushed to parquet row-group stats), and
+the payload coalesce is a column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ENVELOPE_SCHEMA
+
+
+def read_segments(spark: SparkSession, segments_dir: str) -> DataFrame:
+    """Batch-read binlog segments (ordered parquet files)."""
+    return spark.read.schema(ENVELOPE_SCHEMA).parquet(segments_dir)
+
+
+def read_segments_stream(spark: SparkSession, segments_dir: str, max_files: int | None = None) -> DataFrame:
+    """Streaming file source over binlog segments — the sandbox equivalent of
+    ``readStream.format("kafka")`` (reference S1-S4). ``maxFilesPerTrigger``
+    is the backpressure knob (README.md:300-303 → maxOffsetsPerTrigger)."""
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(segments_dir)
+
+
+def filter_tombstones(df: DataFrame) -> DataFrame:
+    """Drop Kafka tombstones / corrupt rows: null op or null source
+    (cdc_kafka_consumer.py:134-138, consumer_demo.py:29-31)."""
+    return df.where(F.col("op").isNotNull() & F.col("source").isNotNull())
+
+
+def parse_envelope(df: DataFrame) -> DataFrame:
+    """Project the envelope to the engine's flat working shape
+    (auto_gen_rag.py:33-70): op, url, event-time ordering keys, payload.
+
+    ``payload = coalesce(after, before)`` — ``after`` for c/u/r, ``before``
+    for d (FULL row image, docker-compose.yml:32). ``(warc_ts, pos)`` is the
+    LWW total order (QUICK_START.md:271-273).
+    """
+    payload = F.coalesce(F.col("after"), F.col("before"))
+    return filter_tombstones(df).select(
+        F.col("op"),
+        payload.getField("url").alias("url"),
+        payload.getField("warc_ts").alias("warc_ts"),
+        F.col("source.pos").alias("pos"),
+        F.col("source.file").alias("src_file"),
+        F.col("after"),
+        F.col("before"),
+        F.col("ts_ms"),
+    ).where(F.col("url").isNotNull())

@@ -1,0 +1,302 @@
+"""Iceberg-style lake table on plain parquet + an atomic JSON snapshot log.
+
+This sandbox has no Iceberg/Delta jars (SURVEY.md §7 'design stance'), so the
+engine ships a thin lake layer with the same semantics the north rule needs;
+the interface is exactly what an Iceberg backend would implement:
+
+- **Atomic commits**: each commit writes data files into an immutable
+  ``data/commit-{snapshot}/`` directory first, then publishes a snapshot JSON
+  and atomically swaps the ``_meta/_current.json`` pointer (``os.replace``).
+  A crash between the two leaves only unreferenced files — never a torn
+  table (SURVEY.md §7 'idempotent commits without real Iceberg').
+- **Idempotent epoch commits**: every snapshot records the ``epoch_id`` it
+  applied; ``merge_lww``/``replace_keys`` no-op when the epoch is already in
+  the log — so ``foreachBatch`` replays after a crash are exactly-once
+  (the reference is at-most-once: auto-commit before apply,
+  kafka_cdc_to_rag.py:26).
+- **Bucketed MERGE granularity**: rows are hash-bucketed by the merge key
+  (``pmod(xxhash64(url), n_buckets)``); a micro-batch only rewrites the
+  buckets its keys touch — the copy-on-write file-level granularity that
+  makes MERGE O(touched-data), not O(table). At 100 TB you raise
+  ``n_buckets`` so each bucket is a few hundred MB; the bucket id is stable
+  across batches, so the MERGE's join is co-located by construction (no
+  table-wide shuffle).
+- **LWW tombstones**: deletes are kept as ``is_deleted=1`` rows carrying
+  their (warc_ts, pos), so replayed older events cannot resurrect a deleted
+  key; readers filter them (SURVEY.md §7 'cross-batch LWW with deletes').
+- **Schema merge**: the snapshot carries the table schema; new columns widen
+  it and old files are null-filled on read (Iceberg schema-evolution twin;
+  mirrors detect_json_changes, incremental_rag_system.py:216-243).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lww import _order_key
+
+
+def _bucket_col(key: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """A key-partitioned upsert table with snapshot isolation."""
+
+    def __init__(self, path: str, key: str = "url", n_buckets: int = 16):
+        self.path = path
+        self.key = key
+        self.n_buckets = n_buckets
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- snapshot log ---------------------------------------------------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.meta_dir, "_current.json")
+
+    def current_snapshot(self) -> dict | None:
+        p = self._current_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def committed_epochs(self) -> dict[str, int]:
+        snap = self.current_snapshot()
+        return dict(snap["epochs"]) if snap else {}
+
+    def _publish(self, snapshot: dict) -> None:
+        sid = snapshot["snapshot_id"]
+        with open(os.path.join(self.meta_dir, f"snap-{sid:012d}.json"), "w") as f:
+            json.dump(snapshot, f)
+        tmp = os.path.join(self.meta_dir, f"_current.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snapshot, f)
+        os.replace(tmp, self._current_path())  # atomic pointer swap
+
+    # -- read -----------------------------------------------------------------
+
+    def schema_columns(self) -> list[tuple[str, str]]:
+        snap = self.current_snapshot()
+        return [tuple(c) for c in snap["schema"]] if snap else []
+
+    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        df = spark.read.parquet(*files)
+        return self._align(df)
+
+    def _align(self, df: DataFrame) -> DataFrame:
+        cols = self.schema_columns()
+        have = {f.name for f in df.schema.fields}
+        return df.select(
+            *[
+                F.col(n).cast(t).alias(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in cols
+            ]
+        )
+
+    def read_raw(self, spark: SparkSession) -> DataFrame | None:
+        """All live rows including tombstones (the MERGE target view)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        files = [f for bucket_files in snap["buckets"].values() for f in bucket_files]
+        return self._read_files(spark, files)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Public table view: tombstones filtered out."""
+        df = self.read_raw(spark)
+        if df is None:
+            return None
+        if "is_deleted" in df.columns:
+            df = df.where((F.col("is_deleted").isNull()) | (F.col("is_deleted") == 0))
+        return df
+
+    # -- write ----------------------------------------------------------------
+
+    def _schema_of(self, df: DataFrame) -> list[tuple[str, str]]:
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name != "_bucket"]
+
+    def _merged_schema(self, df: DataFrame) -> list[tuple[str, str]]:
+        cols = self.schema_columns()
+        names = {n for n, _ in cols}
+        for n, t in self._schema_of(df):
+            if n not in names:
+                cols.append((n, t))
+                names.add(n)
+        return cols
+
+    def _write_buckets(self, df: DataFrame, snapshot_id: int) -> dict[str, list[str]]:
+        """Write df (already carrying _bucket) partitioned by bucket into an
+        immutable commit dir; return bucket → file list."""
+        commit_dir = os.path.join(self.data_dir, f"commit-{snapshot_id:012d}")
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(commit_dir)
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(commit_dir)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(commit_dir, entry)
+            out[b] = [
+                os.path.join(bdir, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+        return out
+
+    def _commit(
+        self,
+        spark: SparkSession,
+        new_rows: DataFrame,
+        touched_buckets: list[int],
+        epoch_id: int | None,
+        extra_meta: dict | None = None,
+    ) -> dict:
+        snap = self.current_snapshot()
+        parent = snap["snapshot_id"] if snap else 0
+        sid = parent + 1
+        written = self._write_buckets(new_rows, sid)
+        buckets: dict[str, list[str]] = dict(snap["buckets"]) if snap else {}
+        for b in touched_buckets:
+            buckets[str(b)] = written.get(str(b), [])
+        epochs = dict(snap["epochs"]) if snap else {}
+        if epoch_id is not None:
+            epochs[str(epoch_id)] = sid
+        new_snap = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "schema": [list(c) for c in self._current_write_schema],
+            "buckets": buckets,
+            "epochs": epochs,
+            "meta": extra_meta or {},
+        }
+        self._publish(new_snap)
+        return new_snap
+
+    def merge_lww(
+        self, spark: SparkSession, deltas: DataFrame, epoch_id: int | None = None
+    ) -> dict | None:
+        """MERGE the batch's per-key winners into the table under LWW.
+
+        ``deltas`` must have ≤1 row per key (operators.apply.upsert_deltas)
+        with columns (key, op, warc_ts, pos, is_deleted, payload...). The
+        equivalent Iceberg statement is::
+
+            MERGE INTO t USING batch ON t.url = batch.url
+            WHEN MATCHED AND (batch.warc_ts, batch.pos) >= (t.warc_ts, t.pos)
+                 AND batch.op != 'r' THEN UPDATE/DELETE
+            WHEN NOT MATCHED THEN INSERT
+
+        implemented as: read only touched buckets → union target rows with
+        batch → per-key max_by over the LWW order key → rewrite those buckets.
+        Snapshot isolation + the epoch log make it idempotent.
+        """
+        if epoch_id is not None and str(epoch_id) in self.committed_epochs():
+            return None  # exactly-once: this micro-batch already applied
+
+        merged_schema = self._merged_schema(deltas)
+        self._current_write_schema = merged_schema
+
+        deltas_b = deltas.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+        touched = [r["_bucket"] for r in deltas_b.select("_bucket").distinct().collect()]
+
+        snap = self.current_snapshot()
+        existing_files: list[str] = []
+        if snap:
+            for b in touched:
+                existing_files.extend(snap["buckets"].get(str(b), []))
+
+        cols = [n for n, _ in merged_schema]
+        aligned_new = _align_to(deltas_b.drop("_bucket"), merged_schema)
+        if existing_files:
+            existing = _align_to(spark.read.parquet(*existing_files), merged_schema)
+            unioned = existing.unionByName(aligned_new)
+        else:
+            unioned = aligned_new
+
+        non_key = [c for c in cols if c != self.key]
+        winners = (
+            unioned.groupBy(self.key)
+            .agg(F.max_by(F.struct(*non_key), _order_key()).alias("_w"))
+            .select(self.key, "_w.*")
+            .withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+        )
+        return self._commit(spark, winners, touched, epoch_id)
+
+    def replace_keys(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        keys: DataFrame,
+        epoch_id: int | None = None,
+    ) -> dict | None:
+        """Delete-then-insert per key: drop all existing rows whose key is in
+        ``keys``, insert ``rows`` (the reference's update strategy for chunks:
+        delete-by-category then re-chunk, auto_gen_rag.py:174-191 — here as
+        one atomic partition-scoped rewrite, SURVEY.md §2.7)."""
+        if epoch_id is not None and str(epoch_id) in self.committed_epochs():
+            return None
+
+        merged_schema = self._merged_schema(rows)
+        self._current_write_schema = merged_schema
+
+        keys_b = keys.select(F.col(self.key)).distinct().withColumn(
+            "_bucket", _bucket_col(self.key, self.n_buckets)
+        )
+        touched = [r["_bucket"] for r in keys_b.select("_bucket").distinct().collect()]
+
+        snap = self.current_snapshot()
+        existing_files: list[str] = []
+        if snap:
+            for b in touched:
+                existing_files.extend(snap["buckets"].get(str(b), []))
+
+        aligned_new = _align_to(rows, merged_schema)
+        if existing_files:
+            existing = _align_to(spark.read.parquet(*existing_files), merged_schema)
+            survivors = existing.join(keys_b.select(self.key), on=self.key, how="left_anti")
+            out = survivors.unionByName(aligned_new)
+        else:
+            out = aligned_new
+        out = out.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+        return self._commit(spark, out, touched, epoch_id)
+
+    # -- maintenance ----------------------------------------------------------
+
+    def vacuum(self) -> int:
+        """Delete commit dirs unreferenced by the current snapshot (crash
+        leftovers / superseded buckets). Returns files removed."""
+        snap = self.current_snapshot()
+        live = {f for bf in (snap["buckets"].values() if snap else []) for f in bf}
+        removed = 0
+        for entry in list(os.listdir(self.data_dir)):
+            cdir = os.path.join(self.data_dir, entry)
+            for root, _dirs, files in os.walk(cdir):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    if fn.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        removed += 1
+            if not any(True for _r, _d, fs in os.walk(cdir) for _ in fs):
+                shutil.rmtree(cdir, ignore_errors=True)
+        return removed
+
+
+def _align_to(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
+    have = {f.name for f in df.schema.fields}
+    return df.select(
+        *[
+            F.col(n).cast(t).alias(n) if n in have else F.lit(None).cast(t).alias(n)
+            for n, t in columns
+        ]
+    )

@@ -1,0 +1,163 @@
+"""Structured Streaming driver: binlog tail → lake MERGE, exactly-once,
+checkpoint-resumable (SURVEY.md §7 step 6; replaces reference pipeline steps
+EP1.2-8 / the consumer loops S1-S4 with one ``StreamingQuery``).
+
+Shape:
+
+    readStream(segments) → withWatermark(warc_ts) → foreachBatch(apply)
+
+``apply`` per micro-batch:
+  1. parse envelope, drop tombstones (operators.envelope)
+  2. per-key LWW winners, salted when the batch is skewed (operators.lww/skew)
+  3. schema evolution: promote new ``extra`` keys to columns (operators.evolution)
+  4. pages MERGE (sinks.lake.merge_lww) — idempotent per epoch
+  5. derived chunks: re-chunk upserted urls, drop deleted urls' chunks
+     (functions.transform + sinks.lake.replace_keys) — idempotent per epoch
+  6. lineage + throughput record (sinks.lineage)
+
+Exactly-once: Spark's checkpoint guarantees each micro-batch is re-delivered
+with the same ``epoch_id`` after a crash; both lake tables and the lineage log
+de-duplicate on that id, so restart = resume with no duplicate or lost
+upserts. ``Trigger.AvailableNow`` replays a bounded log and stops (the
+Debezium snapshot+tail analogue); ``processingTime`` tails a growing one.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import transform
+from ..operators import apply as apply_ops
+from ..operators import envelope, evolution, skew
+from ..sinks.lake import LakeTable
+from ..sinks.lineage import LineageLog, partition_lineage
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        base_dir: str,
+        *,
+        n_buckets: int = 16,
+        salt_buckets: int | None = None,
+        auto_salt: bool = True,
+        with_chunks: bool = True,
+        with_embeddings: bool = False,
+        watermark: str = "30 minutes",
+    ):
+        self.pages = LakeTable(os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets)
+        self.chunks = LakeTable(os.path.join(base_dir, "chunks"), key="url", n_buckets=n_buckets)
+        self.lineage = LineageLog(os.path.join(base_dir, "lineage"))
+        self.salt_buckets = salt_buckets
+        self.auto_salt = auto_salt
+        self.with_chunks = with_chunks
+        self.with_embeddings = with_embeddings
+        self.watermark = watermark
+        self.metrics: list[dict] = []
+
+    # -- the foreachBatch body -------------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        spark = batch_df.sparkSession
+        parsed = envelope.parse_envelope(batch_df)
+        # cache: reused by lineage, skew probe, winners, chunk derivation
+        parsed.persist()
+        try:
+            rows_in = parsed.count()
+            if rows_in == 0:
+                return
+
+            salt = self.salt_buckets
+            if salt is None and self.auto_salt:
+                salt = skew.choose_salt_buckets(parsed)
+
+            deltas = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
+
+            # schema evolution: promote newly-observed source columns
+            keys = evolution.observed_extra_keys(deltas)
+            deltas = evolution.promote_extra_columns(deltas, keys)
+
+            # recompute extracted text from html inside the engine when the
+            # feed didn't carry it (bench mode) — the per-event transform
+            deltas = deltas.withColumn(
+                "text",
+                F.when(
+                    F.col("text").isNull() & F.col("html").isNotNull(),
+                    transform.extract_text_udf(F.col("html")),
+                ).otherwise(F.col("text")),
+            )
+            deltas.persist()
+            try:
+                snap = self.pages.merge_lww(spark, deltas, epoch_id=epoch_id)
+                if snap is None:
+                    return  # epoch already committed (restart replay)
+
+                if self.with_chunks:
+                    upserted = deltas.where(F.col("is_deleted") == 0).select(
+                        "url", "text"
+                    )
+                    new_chunks = transform.chunk_pages(
+                        upserted, with_embeddings=self.with_embeddings
+                    )
+                    all_keys = deltas.select("url")
+                    self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
+
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                lin = partition_lineage(parsed, epoch_id)
+                self.lineage.record(
+                    lin,
+                    epoch_id,
+                    snapshot_id=snap["snapshot_id"],
+                    rows_applied=rows_in,
+                    wall_ms=wall_ms,
+                )
+                self.metrics.append(
+                    {"epoch": epoch_id, "rows": rows_in, "wall_ms": wall_ms, "salted": bool(salt)}
+                )
+            finally:
+                deltas.unpersist()
+        finally:
+            parsed.unpersist()
+
+    # -- run -------------------------------------------------------------------
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        segments_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+        timeout_sec: float | None = None,
+    ):
+        src = envelope.read_segments_stream(spark, segments_dir, max_files=max_files_per_trigger)
+        stream = (
+            src.withColumn(
+                "_event_time", F.coalesce(F.col("after.warc_ts"), F.col("before.warc_ts"))
+            )
+            .withWatermark("_event_time", self.watermark)
+            .drop("_event_time")
+        )
+        writer = stream.writeStream.foreachBatch(self.apply_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="5 seconds")
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(timeout_sec)
+        return query
+
+    def run_batch(self, spark: SparkSession, segments_dir: str) -> None:
+        """Bounded replay without the streaming machinery (EP3 bootstrap —
+        identical code path, one epoch)."""
+        df = envelope.read_segments(spark, segments_dir)
+        self.apply_batch(df, epoch_id=0)

@@ -1,0 +1,181 @@
+"""Lake-sink semantics: cross-batch LWW MERGE, idempotent epoch commits,
+tombstone anti-resurrection, schema evolution, key-replace for chunks."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from changedatacapture_spark import gen, oracle
+from changedatacapture_spark.operators import apply as apply_ops
+from changedatacapture_spark.operators import envelope, evolution
+from changedatacapture_spark.sinks.lake import LakeTable
+
+
+def _apply_epochs(spark, table, seg_dir, n_epochs):
+    """Split the log's segment files into n_epochs contiguous groups and
+    merge each as its own epoch (simulating micro-batches)."""
+    import os
+
+    files = sorted(
+        os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet")
+    )
+    per = max(1, len(files) // n_epochs)
+    groups = [files[i : i + per] for i in range(0, len(files), per)]
+    for epoch, grp in enumerate(groups):
+        batch = spark.read.schema(envelope.ENVELOPE_SCHEMA).parquet(*grp)
+        parsed = envelope.parse_envelope(batch)
+        deltas = apply_ops.upsert_deltas(parsed)
+        keys = evolution.observed_extra_keys(deltas)
+        deltas = evolution.promote_extra_columns(deltas, keys)
+        table.merge_lww(spark, deltas, epoch_id=epoch)
+    return len(groups)
+
+
+def _table_state(spark, table):
+    df = table.read(spark)
+    return {r["url"]: r.asDict() for r in df.collect()} if df is not None else {}
+
+
+def test_multi_epoch_merge_matches_oracle(spark, tmp_path, testdata_dir):
+    seg_dir = str(tmp_path / "log")
+    events = gen.generate_small(
+        seg_dir, n_urls=50, n_events=400, seed=5, n_segments=6, testdata_dir=testdata_dir
+    )
+    table = LakeTable(str(tmp_path / "pages"), key="url", n_buckets=8)
+    _apply_epochs(spark, table, seg_dir, n_epochs=3)
+
+    expected = oracle.fold_events(events)
+    got = _table_state(spark, table)
+    assert set(got) == set(expected)
+    for url, exp in expected.items():
+        assert got[url]["text"] == exp["text"]
+        assert got[url]["warc_ts"] == exp["warc_ts"]
+
+
+def test_epoch_idempotency_exactly_once(spark, tmp_path, testdata_dir):
+    seg_dir = str(tmp_path / "log")
+    gen.generate_small(seg_dir, n_urls=30, n_events=150, seed=6, testdata_dir=testdata_dir)
+    table = LakeTable(str(tmp_path / "pages"), key="url", n_buckets=4)
+
+    batch = envelope.read_segments(spark, seg_dir)
+    deltas = apply_ops.upsert_deltas(envelope.parse_envelope(batch)).drop("extra")
+
+    snap1 = table.merge_lww(spark, deltas, epoch_id=0)
+    assert snap1 is not None
+    state1 = _table_state(spark, table)
+
+    # replaying the same epoch is a no-op (exactly-once on restart)
+    snap2 = table.merge_lww(spark, deltas, epoch_id=0)
+    assert snap2 is None
+    assert table.current_snapshot()["snapshot_id"] == snap1["snapshot_id"]
+    assert _table_state(spark, table) == state1
+
+    # a *different* epoch carrying the same rows is also harmless (LWW ties
+    # resolve to identical content)
+    table.merge_lww(spark, deltas, epoch_id=1)
+    state3 = _table_state(spark, table)
+    assert {u: s["text"] for u, s in state3.items()} == {
+        u: s["text"] for u, s in state1.items()
+    }
+
+
+def test_tombstone_blocks_resurrection(spark, tmp_path):
+    """A late replay of an *older* update must not resurrect a deleted url
+    (SURVEY.md §7 'cross-batch LWW with deletes')."""
+    table = LakeTable(str(tmp_path / "pages"), key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+
+    def mk(op, pos, t, text):
+        return (
+            "u1",
+            t,
+            pos,
+            op,
+            1 if op == "d" else 0,
+            None,
+            text,
+            "en",
+        )
+
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int,"
+        " html binary, text string, lang string"
+    )
+    # epoch 0: insert then delete (delete is the LWW winner)
+    e0 = spark.createDataFrame(
+        [mk("c", 1, ts, "v1"), mk("d", 5, ts + dt.timedelta(seconds=5), None)], schema
+    )
+    table.merge_lww(spark, apply_del := e0.groupBy("url").agg(
+        F.max_by(F.struct(*[c for c in e0.columns if c != "url"]), F.struct("warc_ts", "pos")).alias("_w")
+    ).select("url", "_w.*"), epoch_id=0)
+    assert _table_state(spark, table) == {}
+
+    # epoch 1: late replay of an OLDER update (warc_ts before the delete)
+    e1 = spark.createDataFrame([mk("u", 3, ts + dt.timedelta(seconds=3), "old")], schema)
+    table.merge_lww(spark, e1, epoch_id=1)
+    assert _table_state(spark, table) == {}, "older update resurrected a deleted url"
+
+    # epoch 2: a genuinely NEWER insert revives the url
+    e2 = spark.createDataFrame([mk("c", 9, ts + dt.timedelta(seconds=9), "new")], schema)
+    table.merge_lww(spark, e2, epoch_id=2)
+    state = _table_state(spark, table)
+    assert list(state) == ["u1"] and state["u1"]["text"] == "new"
+
+
+def test_schema_evolution_widens_table(spark, tmp_path, testdata_dir):
+    seg_dir = str(tmp_path / "log")
+    gen.generate_small(
+        seg_dir,
+        n_urls=30,
+        n_events=200,
+        seed=8,
+        evolve_at=0.5,
+        testdata_dir=testdata_dir,
+        n_segments=4,
+    )
+    table = LakeTable(str(tmp_path / "pages"), key="url", n_buckets=4)
+
+    import os
+
+    files = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir))
+    half = len(files) // 2
+    for epoch, grp in enumerate([files[:half], files[half:]]):
+        batch = spark.read.schema(envelope.ENVELOPE_SCHEMA).parquet(*grp)
+        deltas = apply_ops.upsert_deltas(envelope.parse_envelope(batch))
+        keys = evolution.observed_extra_keys(deltas)
+        deltas = evolution.promote_extra_columns(deltas, keys)
+        table.merge_lww(spark, deltas, epoch_id=epoch)
+        if epoch == 0:
+            assert "x_title" not in [c for c, _ in table.schema_columns()]
+
+    cols = [c for c, _ in table.schema_columns()]
+    assert "x_title" in cols and "x_fetch_status" in cols
+    df = table.read(spark)
+    # evolved rows carry values; pre-evolution rows are null-filled
+    assert df.where(F.col("x_title").isNotNull()).count() > 0
+    assert "x_title" in df.columns
+
+
+def test_replace_keys_for_chunks(spark, tmp_path):
+    table = LakeTable(str(tmp_path / "chunks"), key="url", n_buckets=2)
+    rows0 = spark.createDataFrame(
+        [("u1", 0, "a"), ("u1", 1, "b"), ("u2", 0, "c")], "url string, chunk_index int, content string"
+    )
+    table.replace_keys(spark, rows0, rows0.select("url"), epoch_id=0)
+    assert table.read(spark).count() == 3
+
+    # u1 re-chunks to ONE chunk; u2 untouched; u3 appears
+    rows1 = spark.createDataFrame(
+        [("u1", 0, "a2"), ("u3", 0, "d")], "url string, chunk_index int, content string"
+    )
+    table.replace_keys(spark, rows1, rows1.select("url"), epoch_id=1)
+    state = {(r["url"], r["chunk_index"]): r["content"] for r in table.read(spark).collect()}
+    assert state == {("u1", 0): "a2", ("u2", 0): "c", ("u3", 0): "d"}
+
+    # deleted url: keys include u2, rows don't → u2's chunks drop
+    empty = spark.createDataFrame([], "url string, chunk_index int, content string")
+    table.replace_keys(spark, empty, spark.createDataFrame([("u2",)], "url string"), epoch_id=2)
+    assert sorted(r["url"] for r in table.read(spark).collect()) == ["u1", "u3"]
+
+    # idempotent replay
+    assert table.replace_keys(spark, rows1, rows1.select("url"), epoch_id=1) is None
