@@ -1,0 +1,288 @@
+"""DuckDB oracle SQL twins for ``queries.QUERIES`` — the driver's
+correctness gate runs these side-by-side with the Spark queries at sf=0.01
+(row-count + schema + order-insensitive value-hash).
+
+Determinism rules shared with queries.py:
+- timestamps → epoch micros BIGINT; floats → integer micro/cent units;
+- all hashing is md5 hex (identical across engines), never engine hashes;
+- double arithmetic is written with the same operation order as the Spark
+  expression so IEEE results are bit-identical.
+
+Non-SQL-expressible queries (LSH-ANN probing, the Philox embedding stub) are
+intentionally absent → the driver records the weaker rows-only check; their
+semantics are pinned by pytest instead.
+"""
+
+_ENV = """
+    SELECT
+      'https://site-' || CAST(user_id % 50 AS VARCHAR) || '.example.com/page/'
+        || lpad(CAST(user_id AS VARCHAR), 6, '0')        AS url,
+      CASE WHEN event_type = 'signup' THEN 'c'
+           WHEN event_type = 'error'  THEN 'd'
+           ELSE 'u' END                                  AS op,
+      epoch_us(ts)                                       AS warc_us,
+      event_id                                           AS pos,
+      CAST(round(value * 100) AS BIGINT)                 AS val_cents
+    FROM events
+"""
+
+_WINNERS = f"""
+    WITH env AS ({_ENV}),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+      FROM env
+    )
+    SELECT url, op, warc_us, pos, val_cents FROM r WHERE rn = 1
+"""
+
+# the engine's derived sectioned corpus (must match queries._SECTIONED)
+_SECTIONED = (
+    "'1. ' || substr(text, 1, 24) || chr(10) || substr(text, 25, 100) || chr(10) || "
+    "'## ' || substr(text, 125, 16) || chr(10) || substr(text, 141, 10000)"
+)
+
+_HEAD_RE = r"^(#+|[0-9]+\.)\s+(.+?)$"
+
+# independent SQL reimplementation of the reference chunker
+# (/root/reference/main.py:105-159) — validates the pandas-UDF port
+# byte-for-byte including the end_index quirk (see oracle.chunk_by_sections)
+_CHUNKS = f"""
+    WITH s AS (
+      SELECT doc_id, {_SECTIONED} AS stext FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, stext,
+             unnest(string_split(stext, chr(10))) AS line,
+             unnest(range(1, len(string_split(stext, chr(10))) + 1)) AS ln
+      FROM s
+    ),
+    pos AS (
+      SELECT *,
+        coalesce(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY ln
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_start,
+        regexp_matches(line, '{_HEAD_RE}') AS is_head
+      FROM lines
+    ),
+    sec AS (
+      SELECT *, sum(CASE WHEN is_head THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY ln) AS sec_id
+      FROM pos
+    ),
+    grp AS (
+      SELECT doc_id, sec_id,
+        any_value(length(stext)) AS text_len,
+        min(line_start) AS start_index,
+        string_agg(line, chr(10) ORDER BY ln) AS joined,
+        max(CASE WHEN is_head THEN regexp_extract(line, '{_HEAD_RE}', 2) END) AS section_title,
+        max(CASE WHEN is_head THEN length(line) END) AS head_len
+      FROM sec
+      WHERE sec_id >= 1
+      GROUP BY doc_id, sec_id
+    ),
+    fin AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sec_id) - 1 AS INT) AS chunk_index,
+        section_title,
+        trim(joined, ' ' || chr(9) || chr(10) || chr(13)) AS content,
+        CAST(start_index AS INT) AS start_index,
+        CAST(coalesce(
+          lead(start_index) OVER (PARTITION BY doc_id ORDER BY sec_id)
+            - (lead(head_len) OVER (PARTITION BY doc_id ORDER BY sec_id) + 1),
+          text_len) AS INT) AS end_index
+      FROM grp
+    )
+    SELECT doc_id, chunk_index, section_title, content,
+           CAST(length(content) AS INT) AS chunk_size, start_index, end_index
+    FROM fin
+"""
+
+_DUP_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_SHINGLES = f"""
+    WITH corpus AS ({_DUP_CORPUS}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words WHERE len(w) >= 3)
+    )
+"""
+
+_BANDS = f"""
+    {_SHINGLES},
+    hashes AS (
+      SELECT doc_id, i AS hi, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, (SELECT unnest(range(0, 16)) AS i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(hi // 4 AS INT) AS band,
+             md5(string_agg(CAST(hi AS VARCHAR) || ':' || minhash, '|'
+                            ORDER BY CAST(hi AS VARCHAR) || ':' || minhash)) AS bkey
+      FROM hashes GROUP BY doc_id, hi // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+"""
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN substr(h, {p + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+    f"THEN 1 ELSE -1 END) AS v{p}"
+    for p in range(16)
+)
+_SIMHASH_PACK = " + ".join(f"(CASE WHEN v{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16))
+
+_QUALITY = """
+    SELECT doc_id,
+      CAST(round((
+        0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE))
+        + 0.3 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0)
+        + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE))
+      ) * 1000000) AS BIGINT) AS quality_micro
+    FROM documents
+"""
+
+_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "vi": ["và", "của", "là", "cho", "các"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+_LANG_SCORE_COLS = ", ".join(
+    "("
+    + " + ".join(f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words)
+    + f") AS score_{lang}"
+    for lang, words in _LANG_WORDS.items()
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "cdc_envelope": _ENV,
+    "cdc_lww_winners": _WINNERS,
+    "cdc_final_state": f"""
+        WITH w AS ({_WINNERS})
+        SELECT url, op AS last_op, warc_us, pos, val_cents FROM w WHERE op <> 'd'
+    """,
+    "cdc_op_counts": f"WITH env AS ({_ENV}) SELECT op, count(*) AS n FROM env GROUP BY op",
+    "cdc_dedup_deliveries": f"""
+        SELECT DISTINCT * FROM (
+          SELECT * FROM ({_ENV}) UNION ALL SELECT * FROM ({_ENV})
+        )
+    """,
+    "cdc_changelog_recent": f"""
+        WITH env AS ({_ENV})
+        SELECT * FROM env ORDER BY warc_us DESC, pos DESC LIMIT 100
+    """,
+    "cdc_point_read": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos = 123",
+    "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
+    "cdc_lineage_by_segment": f"""
+        WITH env AS ({_ENV})
+        SELECT CAST(floor(pos / 1000) AS BIGINT) AS segment,
+               count(*) AS rows_in, min(pos) AS min_pos, max(pos) AS max_pos,
+               count(DISTINCT url) AS n_urls
+        FROM env GROUP BY 1
+    """,
+    "cdc_noop_updates": f"""
+        WITH env AS ({_ENV}),
+        l AS (
+          SELECT *, lag(val_cents) OVER (PARTITION BY url ORDER BY warc_us, pos) AS prev
+          FROM env
+        )
+        SELECT url, pos, val_cents FROM l WHERE op = 'u' AND prev = val_cents
+    """,
+    "cdc_hot_urls": f"""
+        WITH env AS ({_ENV})
+        SELECT url, count(*) AS n FROM env GROUP BY url
+        HAVING count(*) * 100 > (SELECT count(*) FROM env)
+    """,
+    "doc_chunks": _CHUNKS,
+    "doc_chunk_stats": f"""
+        WITH ch AS ({_CHUNKS})
+        SELECT count(DISTINCT doc_id) AS total_documents,
+               count(*) AS total_chunks,
+               sum(chunk_size) AS sum_chunk_size,
+               CAST((sum(chunk_size) * 1000000) // count(*) AS BIGINT) AS avg_chunk_size_micro
+        FROM ch
+    """,
+    "doc_token_counts": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_count
+        FROM documents
+    """,
+    "doc_quality": _QUALITY,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "doc_lang_scores": f"SELECT doc_id, {_LANG_SCORE_COLS} FROM documents",
+    "dedup_exact": f"""
+        WITH corpus AS ({_DUP_CORPUS})
+        SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper
+        FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    "dedup_minhash_candidates": f"{_BANDS} SELECT doc_a, doc_b FROM cand",
+    "dedup_jaccard": f"""
+        {_BANDS},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(round(n_inter * 1000000 / (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_micro
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(round(n_inter * 1000000 / (sa.n + sb.n - n_inter)) AS BIGINT) >= 800000
+    """,
+    "dedup_simhash": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        h AS (SELECT doc_id, md5(token) AS h FROM tok),
+        votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM votes
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qe) * 1000000) AS BIGINT)
+                 AS dot_micro
+        FROM embeddings, q
+        ORDER BY dot_micro DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "filter_limit": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'en' ORDER BY doc_id LIMIT 100
+    """,
+    "lookup_join": """
+        SELECT d.lang AS doc_lang, count(*) AS n,
+               CAST(round(sum(e.value) * 100) AS BIGINT) AS sum_cents
+        FROM events e JOIN documents d ON e.user_id = d.doc_id
+        GROUP BY d.lang
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "table_counts": """
+        SELECT 'documents' AS tbl, count(*) AS n FROM documents
+        UNION ALL
+        SELECT 'events' AS tbl, count(*) AS n FROM events
+    """,
+}

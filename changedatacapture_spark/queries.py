@@ -1,0 +1,417 @@
+"""Named queries over the driver's test tables — the correctness-gate surface.
+
+Every function here takes ``(spark, sf_dir)`` and returns a DataFrame; each
+has an ANSI-SQL twin in ``ORACLE_SQL`` runnable by DuckDB on the same parquet
+(views: region nation customer supplier part orders lineitem events documents
+embeddings). Together they cover the reference's operator inventory
+(SURVEY.md §2) plus the training-data-pipeline extensions (dedup, similarity,
+text analysis).
+
+Envelope mapping: the driver's ``events`` table (event_id, ts, user_id,
+event_type, value, props) is deterministically mapped to a CDC envelope —
+``user_id`` → url, ``ts`` → warc_ts, ``event_id`` → binlog pos,
+event_type → op (signup→c, error→d, else→u) — with pure column expressions so
+DuckDB can reproduce it exactly. Timestamps are compared as epoch-micros
+BIGINTs and floats as integer micro-units to keep cross-engine value-hashes
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup as dedup_fn
+from .functions import similarity as sim_fn
+from .functions import text as text_fn
+from .functions import transform
+
+# ---------------------------------------------------------------------------
+# table loading
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC envelope over the events table
+# ---------------------------------------------------------------------------
+
+# TZ-independent epoch-micros for the parquet NTZ timestamps (unix_micros on
+# a cast would shift with the session time zone — verified against DuckDB's
+# epoch_us). Lazy: F.expr needs an active session.
+def _epoch_us() -> F.Column:
+    return F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+
+def _url_col() -> F.Column:
+    return F.concat(
+        F.lit("https://site-"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com/page/"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0"),
+    )
+
+
+def _op_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+
+_ENVELOPE_SQL = """
+    SELECT
+      'https://site-' || CAST(user_id % 50 AS VARCHAR) || '.example.com/page/'
+        || lpad(CAST(user_id AS VARCHAR), 6, '0')                      AS url,
+      CASE WHEN event_type = 'signup' THEN 'c'
+           WHEN event_type = 'error'  THEN 'd'
+           ELSE 'u' END                                                AS op,
+      epoch_us(ts)                                                     AS warc_us,
+      event_id                                                         AS pos,
+      CAST(round(value * 100) AS BIGINT)                               AS val_cents
+    FROM events
+"""
+
+
+def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3: envelope projection (auto_gen_rag.py:33-70 as one select)."""
+    return load(spark, sf_dir, "events").select(
+        _url_col().alias("url"),
+        _op_col().alias("op"),
+        _epoch_us().alias("warc_us"),
+        F.col("event_id").alias("pos"),
+        F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+
+
+def cdc_lww_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: in-batch LWW — one winning event per url by (warc_ts, pos),
+    computed with the engine's map-side-combine max_by reduction."""
+    env = cdc_envelope(spark, sf_dir)
+    return (
+        env.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("op", "warc_us", "pos", "val_cents"), F.struct("warc_us", "pos")
+            ).alias("w")
+        )
+        .select("url", "w.op", "w.warc_us", "w.pos", "w.val_cents")
+    )
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fold: final table state after replaying the change log —
+    LWW winner per key, deletes drop the key (auto_gen_rag.py:165-208)."""
+    return cdc_lww_winners(spark, sf_dir).where(F.col("op") != "d").select(
+        "url", F.col("op").alias("last_op"), "warc_us", "pos", "val_cents"
+    )
+
+
+def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: GROUP BY operation counts (incremental_pinecone_updater.py:355)."""
+    return cdc_envelope(spark, sf_dir).groupBy("op").agg(F.count("*").alias("n"))
+
+
+def cdc_dedup_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-delivery collapse: the log unioned with itself (simulated
+    at-least-once redelivery) dedupes back to one row per (url, pos)."""
+    env = cdc_envelope(spark, sf_dir)
+    return env.unionAll(env).distinct()
+
+
+def cdc_changelog_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: ORDER BY time DESC LIMIT n (database.py:534,
+    incremental_rag_system.py:136-139)."""
+    return (
+        cdc_envelope(spark, sf_dir)
+        .orderBy(F.desc("warc_us"), F.desc("pos"))
+        .limit(100)
+    )
+
+
+def cdc_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: point read by key (database.py:254-299)."""
+    return cdc_envelope(spark, sf_dir).where(F.col("pos") == 123)
+
+
+def cdc_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: range slice (main.py:788-794 from_idx/to_idx)."""
+    return cdc_envelope(spark, sf_dir).where(F.col("pos").between(1000, 1100))
+
+
+def cdc_lineage_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment lineage rollup: rows + offset range per 1000-pos segment
+    (the engine's per-partition lineage, aggregated to a stable key)."""
+    env = cdc_envelope(spark, sf_dir)
+    return (
+        env.groupBy((F.floor(F.col("pos") / 1000)).cast("bigint").alias("segment"))
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+    )
+
+
+def cdc_noop_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based no-op suppression analog (incremental_pinecone_updater.py:
+    275-277): updates whose payload equals the key's previous payload."""
+    from pyspark.sql.window import Window
+
+    env = cdc_envelope(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("warc_us", "pos")
+    return (
+        env.withColumn("prev", F.lag("val_cents").over(w))
+        .where((F.col("op") == "u") & (F.col("prev") == F.col("val_cents")))
+        .select("url", "pos", "val_cents")
+    )
+
+
+def cdc_hot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew probe: urls holding >1% of all events (operators.skew heavy-hitter
+    detection, exact version)."""
+    env = cdc_envelope(spark, sf_dir)
+    total = env.count()
+    return (
+        env.groupBy("url")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * 100 > total)
+        .select("url", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transform: section chunker over a derived sectioned corpus
+# ---------------------------------------------------------------------------
+
+# deterministic sectioned text derived from documents.text — gives the
+# chunker real work (multiple headings) in a way DuckDB can reproduce
+_SECTIONED = (
+    "'1. ' || substr({t}, 1, 24) || chr(10) || substr({t}, 25, 100) || chr(10) || "
+    "'## ' || substr({t}, 125, 16) || chr(10) || substr({t}, 141, 10000)"
+)
+
+
+def _sectioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(_SECTIONED.format(t="text")).alias("stext")
+    )
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the reference chunker (main.py:105-159) as a pandas UDF +
+    posexplode, over the derived sectioned corpus. The DuckDB oracle is an
+    independent SQL reimplementation of the same semantics — byte-level
+    cross-check of content and char offsets."""
+    docs = _sectioned_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.posexplode(transform.chunk_udf(F.col("stext"))).alias("chunk_index", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("c.section_title").alias("section_title"),
+        F.col("c.content").alias("content"),
+        F.col("c.chunk_size").alias("chunk_size"),
+        F.col("c.start_index").alias("start_index"),
+        F.col("c.end_index").alias("end_index"),
+    )
+
+
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: chunk summary aggregate (main.py:822-827): totals + avg size in
+    micro-units."""
+    ch = doc_chunks(spark, sf_dir)
+    return ch.agg(
+        F.countDistinct("doc_id").alias("total_documents"),
+        F.count("*").alias("total_chunks"),
+        F.sum("chunk_size").alias("sum_chunk_size"),
+        # integer-division avg: exact cross-engine (no float rounding)
+        F.expr("CAST((sum(chunk_size) * 1000000) DIV count(*) AS BIGINT)").alias(
+            "avg_chunk_size_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", text_fn.token_count("text"))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", text_fn.quality_score_micro("text"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", text_fn.fingerprint("text"))
+
+
+def doc_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", *text_fn.lang_scores("text"))
+
+
+# ---------------------------------------------------------------------------
+# dedup over documents
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copy-with-shifted-ids — guarantees exact duplicates so the
+    dedup operators have non-trivial output."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )  # every 10th doc duplicated under a shifted id
+    return docs.unionAll(copy)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_fn.exact_dup_groups(_dup_corpus(spark, sf_dir))
+
+
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_fn.lsh_candidate_pairs(_dup_corpus(spark, sf_dir), bands=4, rows_per_band=4)
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = dedup_fn.lsh_candidate_pairs(corpus, bands=4, rows_per_band=4)
+    return dedup_fn.jaccard_pairs(corpus, cands).where(F.col("jaccard_micro") >= 800_000)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_fn.simhash16(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 by dot product vs vec_id=0's embedding (the corpus
+    is unit-norm, so dot ≡ cosine). JVM-side zip_with/aggregate fold — no
+    UDF; the scan parallelizes and the top-k is TakeOrderedAndProject."""
+    q = _query_vector(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.col("vec_id"), sim_fn.dot_micro("embedding", q).alias("dot_micro"))
+        .orderBy(F.desc("dot_micro"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — rows-only oracle; recall vs brute
+    force is pinned by tests/test_similarity.py."""
+    q = _query_vector(spark, sf_dir)
+    return sim_fn.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: the embedding stage (deterministic stub) — rows-only oracle."""
+    docs = load(spark, sf_dir, "documents").limit(50)
+    return docs.select(
+        "doc_id", transform.embed_stub_udf(F.col("text")).alias("embedding")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational parity (reference S7/P5/J1/A1/O3 over the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: metadata filter + limit (main.py:1349-1410) — category filter as a
+    plain pushed-down predicate."""
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the upsert probe join — events keyed to a small dimension; the
+    dimension side is broadcast (the engine broadcasts micro-batch-sized
+    sides in the MERGE)."""
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang").alias("doc_lang")
+    )
+    return (
+        ev.join(F.broadcast(docs), ev.user_id == docs.doc_id, "inner")
+        .groupBy("doc_lang")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value") * 100).cast("bigint").alias("sum_cents"))
+    )
+
+
+def orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-k by value (main.py:1360 top_k)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"))
+    )
+
+
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(*) (database.py:529-531)."""
+    d = load(spark, sf_dir, "documents").agg(F.count("*").alias("n")).select(F.lit("documents").alias("tbl"), "n")
+    e = load(spark, sf_dir, "events").agg(F.count("*").alias("n")).select(F.lit("events").alias("tbl"), "n")
+    return d.unionAll(e)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_envelope": cdc_envelope,
+    "cdc_lww_winners": cdc_lww_winners,
+    "cdc_final_state": cdc_final_state,
+    "cdc_op_counts": cdc_op_counts,
+    "cdc_dedup_deliveries": cdc_dedup_deliveries,
+    "cdc_changelog_recent": cdc_changelog_recent,
+    "cdc_point_read": cdc_point_read,
+    "cdc_range_slice": cdc_range_slice,
+    "cdc_lineage_by_segment": cdc_lineage_by_segment,
+    "cdc_noop_updates": cdc_noop_updates,
+    "cdc_hot_urls": cdc_hot_urls,
+    "doc_chunks": doc_chunks,
+    "doc_chunk_stats": doc_chunk_stats,
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_lang_scores": doc_lang_scores,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_candidates": dedup_minhash_candidates,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embed_documents": embed_documents,
+    "filter_limit": filter_limit,
+    "lookup_join": lookup_join,
+    "orders_topk": orders_topk,
+    "table_counts": table_counts,
+}
