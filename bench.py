@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline numbers:
+- ``cdc_replay`` — the north-star path: replay a generated Common-Crawl-style
+  change log (envelope parquet segments, hot-url skew) through the full
+  engine (parse → LWW winners → html→text pandas-UDF transform → bucketed
+  lake MERGE), measured end-to-end; ``events_per_sec`` is derived from it.
+- ``cdc_chunks`` — the derived-chunks transform (section chunker UDF +
+  posexplode + key-replace into the chunks table).
+- query-surface samples (LWW fold over the events table, minhash dedup, ANN
+  top-k) for regression tracking.
+
+Env knobs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS (default 32). The generated replay log is cached under
+/tmp keyed by its parameters; generation time is excluded from timings.
+
+Scaling evidence (north rule: efficiency ≥0.8 from N to 4N executors) is
+produced by ``bench_scaling.py``, which runs THIS file's cdc_replay at
+local[8] and local[32] in fresh JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+# executors' python workers must import the package too (spark-submit
+# --py-files equivalent for local mode)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def build_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"cdc-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .getOrCreate()
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_log_dir(sf: float, n_events: int) -> str:
+    return f"/tmp/cdc_bench_cache/log_sf{sf}_{n_events}"
+
+
+def ensure_bench_log(spark, sf_dir: str, n_events: int, n_urls: int) -> str:
+    from changedatacapture_spark import gen
+
+    out = bench_log_dir(_sf_of(sf_dir), n_events)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        gen.generate_bench(
+            spark,
+            out,
+            n_urls=n_urls,
+            n_events=n_events,
+            n_segments=64,
+            pool_size=256,
+            hot_frac=0.05,
+            testdata_dir=sf_dir,
+        )
+    return out
+
+
+def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: int | None = None):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark import queries as Q
+    from changedatacapture_spark.functions import transform
+    from changedatacapture_spark.streaming.driver import CdcPipeline
+
+    sf = _sf_of(sf_dir)
+    if n_events is None:
+        # scale the replay log with sf: sf0.1 → 400k events over 40k urls
+        n_events = max(50_000, int(4_000_000 * sf))
+    n_urls = max(5_000, n_events // 10)
+
+    spark = build_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    try:
+        log_dir = ensure_bench_log(spark, sf_dir, n_events, n_urls)
+
+        def timed(name, fn):
+            if only and name not in only:
+                return
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        # -- the north-star replay ------------------------------------------
+        lake_dir = f"/tmp/cdc_bench_lake_{os.getpid()}"
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        pipe = CdcPipeline(lake_dir, n_buckets=64, with_chunks=False, auto_salt=True)
+
+        def replay():
+            pipe.run_batch(spark, log_dir)
+
+        timed("cdc_replay", replay)
+        if "cdc_replay" in timings:
+            extras["events_per_sec"] = round(n_events / timings["cdc_replay"], 1)
+            extras["replay_events"] = n_events
+
+        # -- derived chunks over the final pages ----------------------------
+        def chunks():
+            pages = pipe.pages.read(spark)
+            if pages is None:
+                return
+            ch = transform.chunk_pages(pages.select("url", "text"))
+            ch.write.mode("overwrite").parquet(f"{lake_dir}/_bench_chunks")
+
+        timed("cdc_chunks", chunks)
+
+        # -- query-surface samples -------------------------------------------
+        timed("lww_fold", lambda: Q.cdc_final_state(spark, sf_dir).count())
+        timed("dedup_minhash", lambda: Q.dedup_minhash_candidates(spark, sf_dir).count())
+        timed("ann_topk", lambda: Q.ann_cosine_topk(spark, sf_dir).count())
+        timed("chunk_docs", lambda: Q.doc_chunks(spark, sf_dir).count())
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "end-to-end seconds (headline: cdc_replay events/sec)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        **extras,
+    }
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--events", type=int, default=None, help="override replay log size")
+    args = ap.parse_args()
+    only = args.only.split(",") if args.only else None
+    result = run_bench(args.cores, args.sf_dir, only=only, n_events=args.events)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

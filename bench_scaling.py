@@ -1,0 +1,93 @@
+"""Scaling-efficiency evidence for the north rule (≥0.8 from N to 4N
+executors), sandbox protocol per BASELINE.md: the same cdc_replay job on the
+same input at local[8] vs local[32] (8→32 cores = N→4N), fresh JVM per level
+(subprocess), efficiency = (T_8 / T_32) / 4. Writes BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [--sf-dir DIR] [--events N] [--repeat K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_level(cores: int, sf_dir: str, events: int | None) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "bench.py"),
+        "--cores",
+        str(cores),
+        "--sf-dir",
+        sf_dir,
+        "--only",
+        "cdc_replay",
+    ]
+    if events:
+        cmd += ["--events", str(events)]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--events", type=int, default=None)
+    ap.add_argument("--repeat", type=int, default=2, help="runs per level; best time wins")
+    args = ap.parse_args()
+
+    results = {}
+    for cores in (8, 32):
+        best = None
+        for _ in range(args.repeat):
+            r = run_level(cores, args.sf_dir, args.events)
+            t = r["queries"]["cdc_replay"]
+            if best is None or t < best["queries"]["cdc_replay"]:
+                best = r
+        results[cores] = best
+        print(f"local[{cores}]: {best['queries']['cdc_replay']}s, "
+              f"{best['events_per_sec']} events/s", flush=True)
+
+    t8 = results[8]["queries"]["cdc_replay"]
+    t32 = results[32]["queries"]["cdc_replay"]
+    eff = (t8 / t32) / 4
+    n_events = results[8]["replay_events"]
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — scaling-efficiency evidence (north rule)
+
+Protocol (BASELINE.md sandbox evidence): the same end-to-end CDC replay job
+(`bench.py --only cdc_replay`) on the same generated change log, run at two
+parallelism levels in fresh JVMs — `local[8]` vs `local[32]` (8→32 cores =
+N→4N executors). Best of {args.repeat} runs per level.
+
+| level | cores | wall sec | events/sec |
+|---|---|---|---|
+| N  | 8  | {t8:.3f} | {results[8]['events_per_sec']:.1f} |
+| 4N | 32 | {t32:.3f} | {results[32]['events_per_sec']:.1f} |
+
+- replay log: {n_events} envelope events (hot-url skew 5%, Zipf-style), sf
+  dir `{args.sf_dir}`
+- job: parse envelope → LWW winners (map-side-combine max_by, auto-salted) →
+  html→text pandas-UDF transform → bucketed lake MERGE (64 buckets) with
+  atomic snapshot commit
+- **speedup 8→32 cores: {t8 / t32:.2f}×**
+- **scaling efficiency = (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8)
+
+Reference single-node baseline (BASELINE.md): ~0.3–3 events/sec/process on
+the re-chunk/incremental paths; this engine applies
+{results[32]['events_per_sec']:.0f} events/sec at local[32] —
+{results[32]['events_per_sec'] / 3:.0f}×+ the reference's best serial rate.
+""")
+    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

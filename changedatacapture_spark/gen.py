@@ -319,63 +319,40 @@ def generate_bench(
         .withColumn("body_id", F.pmod("h1", F.lit(pool_size)).cast("int"))
     )
 
-    env = (
-        ev.join(F.broadcast(pool), "body_id")
-        .select(
-            F.col("op"),
-            F.lit(None).cast("struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string,extra:map<string,string>>").alias("before"),
-            F.when(
-                F.col("op") != "d",
-                F.struct(
-                    F.concat(
-                        F.lit("https://site-"),
-                        F.pmod("url_id", F.lit(50)).cast("string"),
-                        F.lit(".example.com/page/"),
-                        F.lpad(F.col("url_id").cast("string"), 6, "0"),
-                    ).alias("url"),
-                    F.col("warc_ts"),
-                    F.col("html"),
-                    F.lit(None).cast("string").alias("text"),
-                    F.col("lang"),
-                    F.lit(None).cast("map<string,string>").alias("extra"),
-                ),
-            ).alias("after"),
-            F.struct(
-                F.lit("testdb").alias("db"),
-                F.lit("pages").alias("table"),
-                F.concat(F.lit("binlog."), F.lpad((F.col("pos") / 1000).cast("long").cast("string"), 6, "0")).alias("file"),
-                F.col("pos"),
-            ).alias("source"),
-            (F.unix_timestamp("warc_ts") * 1000).alias("ts_ms"),
-            F.col("pos").alias("_order"),
-            F.col("url_id"),
+    url = F.concat(
+        F.lit("https://site-"),
+        F.pmod("url_id", F.lit(50)).cast("string"),
+        F.lit(".example.com/page/"),
+        F.lpad(F.col("url_id").cast("string"), 6, "0"),
+    )
+
+    def payload_struct(with_body: bool) -> F.Column:
+        return F.struct(
+            url.alias("url"),
+            F.col("warc_ts").alias("warc_ts"),
+            (F.col("html") if with_body else F.lit(None).cast("binary")).alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            (F.col("lang") if with_body else F.lit(None).cast("string")).alias("lang"),
+            F.lit(None).cast("map<string,string>").alias("extra"),
         )
-        # deletes need the url on the before image (FULL row image,
-        # docker-compose.yml:32)
-        .withColumn(
-            "before",
-            F.when(
-                F.col("op") == "d",
-                F.struct(
-                    F.concat(
-                        F.lit("https://site-"),
-                        F.pmod("url_id", F.lit(50)).cast("string"),
-                        F.lit(".example.com/page/"),
-                        F.lpad(F.col("url_id").cast("string"), 6, "0"),
-                    ).alias("url"),
-                    F.col("source.pos").cast("timestamp").alias("warc_ts"),
-                    F.lit(None).cast("binary").alias("html"),
-                    F.lit(None).cast("string").alias("text"),
-                    F.lit(None).cast("string").alias("lang"),
-                    F.lit(None).cast("map<string,string>").alias("extra"),
-                ),
-            ).otherwise(F.col("before")),
-        )
-        .withColumn(
-            "before",
-            F.when(F.col("op") == "d", F.col("before").withField("warc_ts", F.col("warc_ts"))).otherwise(F.col("before")),
-        )
-        .drop("url_id")
+
+    env = ev.join(F.broadcast(pool), "body_id").select(
+        F.col("op"),
+        # deletes carry the FULL before image with the delete-time warc_ts
+        # (docker-compose.yml:32 binlog_row_image=FULL)
+        F.when(F.col("op") == "d", payload_struct(False)).alias("before"),
+        F.when(F.col("op") != "d", payload_struct(True)).alias("after"),
+        F.struct(
+            F.lit("testdb").alias("db"),
+            F.lit("pages").alias("table"),
+            F.concat(
+                F.lit("binlog."),
+                F.lpad((F.col("pos") / 1000).cast("long").cast("string"), 6, "0"),
+            ).alias("file"),
+            F.col("pos"),
+        ).alias("source"),
+        (F.unix_timestamp("warc_ts") * 1000).alias("ts_ms"),
+        F.col("pos").alias("_order"),
     )
 
     (

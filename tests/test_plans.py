@@ -1,0 +1,74 @@
+"""Physical-plan shape pins — the 100 TB guarantees (SURVEY.md §4).
+
+These assert the *plan*, not just the result: LWW must partially aggregate
+map-side (no full event shuffle), filters must reach the parquet scan, small
+dimensions must broadcast, top-k must be TakeOrderedAndProject (no global
+sort), and hot-path expressions must stay inside whole-stage codegen."""
+
+from pyspark.sql import functions as F
+
+from changedatacapture_spark import queries as Q
+from changedatacapture_spark.operators import lww
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_lww_uses_partial_aggregation(spark):
+    """max_by LWW must show a partial aggregate before the shuffle — at
+    10^10 events the shuffle carries one pre-reduced row per (url ×
+    map-partition), not every event."""
+    env = Q.cdc_envelope(spark, SF).withColumn("warc_ts", F.col("warc_us").cast("timestamp"))
+    parsed = env.select("url", "op", "warc_ts", "pos", "val_cents")
+    plan = _plan(lww.lww_winners(parsed))
+    assert "partial_max_by" in plan, plan
+    # exactly one exchange for the final aggregate, keyed on url
+    assert plan.count("Exchange") <= 2  # AQE may add a read, but no extra shuffle stage
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(Q.filter_limit(spark, SF))
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1].splitlines()[0], plan
+
+
+def test_column_pruning(spark):
+    """A 3-column projection must not read the full documents schema."""
+    plan = _plan(Q.filter_limit(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+
+
+def test_lookup_join_broadcasts_dimension(spark):
+    plan = _plan(Q.lookup_join(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(Q.orders_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ann_dot_product_stays_jvm_side(spark):
+    """The brute-force ANN scan must contain no Python UDF (BatchEvalPython /
+    ArrowEvalPython) — the fold is pure Catalyst."""
+    plan = _plan(Q.ann_cosine_topk(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_envelope_tombstone_filter_pushes_down(spark):
+    from changedatacapture_spark.operators import envelope
+    from changedatacapture_spark import gen
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        gen.generate_small(d, n_urls=5, n_events=20, seed=1, n_segments=1)
+        df = envelope.parse_envelope(envelope.read_segments(spark, d))
+        plan = _plan(df)
+        assert "PushedFilters" in plan
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "IsNotNull" in pushed, plan
