@@ -33,6 +33,11 @@ sys.path.insert(0, REPO)
 # executors' python workers must import the package too (spark-submit
 # --py-files equivalent for local mode)
 os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+# one BLAS/OMP thread per python worker: N workers × nproc BLAS threads
+# otherwise oversubscribes the box quadratically (measured 1.6× drag at 32
+# workers on 32 cores)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 
 
 def build_spark(cores: int):
@@ -85,16 +90,14 @@ def ensure_bench_log(spark, sf_dir: str, n_events: int, n_urls: int) -> str:
 
 
 def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: int | None = None):
-    from pyspark.sql import functions as F
-
     from changedatacapture_spark import queries as Q
     from changedatacapture_spark.functions import transform
     from changedatacapture_spark.streaming.driver import CdcPipeline
 
     sf = _sf_of(sf_dir)
     if n_events is None:
-        # scale the replay log with sf: sf0.1 → 400k events over 40k urls
-        n_events = max(50_000, int(4_000_000 * sf))
+        # scale the replay log with sf: sf0.1 → 1M events over 100k urls
+        n_events = max(50_000, int(10_000_000 * sf))
     n_urls = max(5_000, n_events // 10)
 
     spark = build_spark(cores)
@@ -104,6 +107,16 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
 
     try:
         log_dir = ensure_bench_log(spark, sf_dir, n_events, n_urls)
+
+        # warmup: a small untimed replay to JIT-compile the codegen'd plan and
+        # fault in the Python-worker pool — cold-JVM effects otherwise dominate
+        # (measured 10-20× first-vs-second-run deltas) and would skew the
+        # N→4N scaling comparison
+        warm_log = ensure_bench_log(spark, sf_dir, 50_000, 5_000)
+        warm_lake = f"/tmp/cdc_bench_warm_{os.getpid()}"
+        shutil.rmtree(warm_lake, ignore_errors=True)
+        CdcPipeline(warm_lake, n_buckets=16, with_chunks=False).run_batch(spark, warm_log)
+        shutil.rmtree(warm_lake, ignore_errors=True)
 
         def timed(name, fn):
             if only and name not in only:

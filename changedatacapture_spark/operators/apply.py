@@ -16,24 +16,31 @@ from pyspark.sql import functions as F
 from . import lww
 
 
+def _winners(parsed: DataFrame, salt_buckets: int | None) -> DataFrame:
+    """LWW winners. Duplicate deliveries of the same (url, pos) need no
+    separate dedup pass: max_by picks one of the identical copies, so the
+    winner is byte-identical either way (dedup_deliveries exists for
+    accounting, not correctness — keeping it out of the hot path saves a
+    full per-event shuffle)."""
+    return (
+        lww.lww_winners_salted(parsed, salt_buckets) if salt_buckets else lww.lww_winners(parsed)
+    )
+
+
 def fold_final_state(parsed: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Final pages state of a (complete) event log: LWW winner per url,
     deletes dropped, payload flattened. Matches oracle.fold_events under the
     snapshot-first contract."""
-    deduped = lww.dedup_deliveries(parsed)
-    winners = (
-        lww.lww_winners_salted(deduped, salt_buckets) if salt_buckets else lww.lww_winners(deduped)
-    )
-    payload = F.coalesce(F.col("after"), F.col("before"))
+    winners = _winners(parsed, salt_buckets)
     return (
         winners.where(F.col("op") != "d")
         .select(
             F.col("url"),
-            payload.getField("warc_ts").alias("warc_ts"),
-            payload.getField("html").alias("html"),
-            payload.getField("text").alias("text"),
-            payload.getField("lang").alias("lang"),
-            payload.getField("extra").alias("extra"),
+            F.col("after.warc_ts").alias("warc_ts"),
+            F.col("after.html").alias("html"),
+            F.col("after.text").alias("text"),
+            F.col("after.lang").alias("lang"),
+            F.col("after.extra").alias("extra"),
             F.col("pos"),
             F.col("op").alias("last_op"),
         )
@@ -45,19 +52,15 @@ def upsert_deltas(parsed: DataFrame, salt_buckets: int | None = None) -> DataFra
     source. Tombstones (is_deleted=1) carry their own (warc_ts, pos) so a
     late replay of an older update can't resurrect a deleted url
     (SURVEY.md §7 'cross-batch LWW with deletes')."""
-    deduped = lww.dedup_deliveries(parsed)
-    winners = (
-        lww.lww_winners_salted(deduped, salt_buckets) if salt_buckets else lww.lww_winners(deduped)
-    )
-    payload = F.coalesce(F.col("after"), F.col("before"))
+    winners = _winners(parsed, salt_buckets)
     return winners.select(
         F.col("url"),
         F.col("warc_ts"),
         F.col("pos"),
         F.col("op"),
         (F.col("op") == "d").cast("int").alias("is_deleted"),
-        payload.getField("html").alias("html"),
-        payload.getField("text").alias("text"),
-        payload.getField("lang").alias("lang"),
-        payload.getField("extra").alias("extra"),
+        F.col("after.html").alias("html"),
+        F.col("after.text").alias("text"),
+        F.col("after.lang").alias("lang"),
+        F.col("after.extra").alias("extra"),
     )

@@ -38,22 +38,30 @@ def filter_tombstones(df: DataFrame) -> DataFrame:
     return df.where(F.col("op").isNotNull() & F.col("source").isNotNull())
 
 
-def parse_envelope(df: DataFrame) -> DataFrame:
+def parse_envelope(df: DataFrame, include_before: bool = False) -> DataFrame:
     """Project the envelope to the engine's flat working shape
     (auto_gen_rag.py:33-70): op, url, event-time ordering keys, payload.
 
-    ``payload = coalesce(after, before)`` — ``after`` for c/u/r, ``before``
-    for d (FULL row image, docker-compose.yml:32). ``(warc_ts, pos)`` is the
-    LWW total order (QUICK_START.md:271-273).
+    The url/warc_ts keys coalesce *fields* (``after.url``/``before.url``),
+    not whole structs — field-level coalesce lets Catalyst's nested-schema
+    pruning reach the parquet scan, so a lineage/count pass reads only the
+    key columns, never the html bytes.
+
+    The ``before`` image's body is never used by the LWW fold (a delete's
+    payload is a tombstone; c/u/r carry ``after``), so it is dropped from the
+    hot path — halving what the aggregation buffers and the shuffle carry.
+    Pass ``include_before=True`` for field-diff analyses
+    (incremental_pinecone_updater.py:315-327 semantics).
     """
-    payload = F.coalesce(F.col("after"), F.col("before"))
-    return filter_tombstones(df).select(
+    cols = [
         F.col("op"),
-        payload.getField("url").alias("url"),
-        payload.getField("warc_ts").alias("warc_ts"),
+        F.coalesce(F.col("after.url"), F.col("before.url")).alias("url"),
+        F.coalesce(F.col("after.warc_ts"), F.col("before.warc_ts")).alias("warc_ts"),
         F.col("source.pos").alias("pos"),
         F.col("source.file").alias("src_file"),
         F.col("after"),
-        F.col("before"),
         F.col("ts_ms"),
-    ).where(F.col("url").isNotNull())
+    ]
+    if include_before:
+        cols.insert(6, F.col("before"))
+    return filter_tombstones(df).select(*cols).where(F.col("url").isNotNull())

@@ -140,7 +140,12 @@ class LakeTable:
         """Write df (already carrying _bucket) partitioned by bucket into an
         immutable commit dir; return bucket → file list."""
         commit_dir = os.path.join(self.data_dir, f"commit-{snapshot_id:012d}")
-        df.write.mode("overwrite").partitionBy("_bucket").parquet(commit_dir)
+        # co-locate each bucket in one task → one file per touched bucket
+        # (without this, every reduce task writes a sliver of every bucket:
+        # tasks × buckets small files)
+        df.repartition(self.n_buckets, "_bucket").write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(commit_dir)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
@@ -272,6 +277,38 @@ class LakeTable:
         return self._commit(spark, out, touched, epoch_id)
 
     # -- maintenance ----------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        drop_tombstones_before=None,
+    ) -> dict | None:
+        """Rewrite every bucket into one file and optionally age out LWW
+        tombstones older than ``drop_tombstones_before`` (a warc_ts horizon).
+
+        Long-running CDC accumulates one small file per touched bucket per
+        commit plus delete tombstones; compaction restores read efficiency.
+        Tombstones may only be dropped once no event older than the horizon
+        can still arrive (i.e. behind the stream's watermark) — dropping a
+        younger tombstone would let a late replay resurrect the key.
+        """
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        df = self.read_raw(spark)
+        if drop_tombstones_before is not None and "is_deleted" in df.columns:
+            df = df.where(
+                (F.col("is_deleted").isNull())
+                | (F.col("is_deleted") == 0)
+                | (F.col("warc_ts") >= F.lit(drop_tombstones_before))
+            )
+        self._current_write_schema = self.schema_columns()
+        out = df.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+        touched = list(range(self.n_buckets))
+        new_snap = self._commit(spark, out, touched, epoch_id=None, extra_meta={"compaction": True})
+        self.vacuum()
+        return new_snap
 
     def vacuum(self) -> int:
         """Delete commit dirs unreferenced by the current snapshot (crash

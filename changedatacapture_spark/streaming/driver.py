@@ -44,7 +44,7 @@ class CdcPipeline:
         *,
         n_buckets: int = 16,
         salt_buckets: int | None = None,
-        auto_salt: bool = True,
+        auto_salt: bool = False,
         with_chunks: bool = True,
         with_embeddings: bool = False,
         watermark: str = "30 minutes",
@@ -65,64 +65,68 @@ class CdcPipeline:
         t0 = time.monotonic()
         spark = batch_df.sparkSession
         parsed = envelope.parse_envelope(batch_df)
-        # cache: reused by lineage, skew probe, winners, chunk derivation
-        parsed.persist()
+
+        # pass 1 (cheap partial-agg over the raw scan): per-partition lineage;
+        # its sum is the batch row count — no separate count() pass, no cache
+        # of the raw events
+        lin_rows = partition_lineage(parsed, epoch_id).collect()
+        rows_in = sum(r["rows_in"] for r in lin_rows)
+        if rows_in == 0:
+            return
+
+        salt = self.salt_buckets
+        if salt is None and self.auto_salt:
+            # note: the max_by LWW reduction partially aggregates map-side, so
+            # a hot url already collapses to ≤1 row per map partition before
+            # the shuffle; explicit salting only pays when single-url state
+            # within a map partition is itself the bottleneck. Off by default.
+            salt = skew.choose_salt_buckets(parsed)
+
+        # pass 2: LWW winners (the only per-event shuffle), then the per-event
+        # transform on the ~|keys| winners, not the |events| raw stream
+        deltas = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
+        deltas = deltas.withColumn(
+            "text",
+            F.when(
+                F.col("text").isNull() & F.col("html").isNotNull(),
+                transform.extract_text_udf(F.col("html")),
+            ).otherwise(F.col("text")),
+        )
+        deltas.persist()
         try:
-            rows_in = parsed.count()
-            if rows_in == 0:
-                return
-
-            salt = self.salt_buckets
-            if salt is None and self.auto_salt:
-                salt = skew.choose_salt_buckets(parsed)
-
-            deltas = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
-
             # schema evolution: promote newly-observed source columns
             keys = evolution.observed_extra_keys(deltas)
-            deltas = evolution.promote_extra_columns(deltas, keys)
+            if keys:
+                deltas2 = evolution.promote_extra_columns(deltas, keys)
+            else:
+                deltas2 = deltas.drop("extra")
 
-            # recompute extracted text from html inside the engine when the
-            # feed didn't carry it (bench mode) — the per-event transform
-            deltas = deltas.withColumn(
-                "text",
-                F.when(
-                    F.col("text").isNull() & F.col("html").isNotNull(),
-                    transform.extract_text_udf(F.col("html")),
-                ).otherwise(F.col("text")),
+            snap = self.pages.merge_lww(spark, deltas2, epoch_id=epoch_id)
+            if snap is None:
+                return  # epoch already committed (restart replay)
+
+            if self.with_chunks:
+                upserted = deltas2.where(F.col("is_deleted") == 0).select("url", "text")
+                new_chunks = transform.chunk_pages(
+                    upserted, with_embeddings=self.with_embeddings
+                )
+                all_keys = deltas2.select("url")
+                self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
+
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            lin = spark.createDataFrame(lin_rows, partition_lineage(parsed, epoch_id).schema)
+            self.lineage.record(
+                lin,
+                epoch_id,
+                snapshot_id=snap["snapshot_id"],
+                rows_applied=rows_in,
+                wall_ms=wall_ms,
             )
-            deltas.persist()
-            try:
-                snap = self.pages.merge_lww(spark, deltas, epoch_id=epoch_id)
-                if snap is None:
-                    return  # epoch already committed (restart replay)
-
-                if self.with_chunks:
-                    upserted = deltas.where(F.col("is_deleted") == 0).select(
-                        "url", "text"
-                    )
-                    new_chunks = transform.chunk_pages(
-                        upserted, with_embeddings=self.with_embeddings
-                    )
-                    all_keys = deltas.select("url")
-                    self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
-
-                wall_ms = int((time.monotonic() - t0) * 1000)
-                lin = partition_lineage(parsed, epoch_id)
-                self.lineage.record(
-                    lin,
-                    epoch_id,
-                    snapshot_id=snap["snapshot_id"],
-                    rows_applied=rows_in,
-                    wall_ms=wall_ms,
-                )
-                self.metrics.append(
-                    {"epoch": epoch_id, "rows": rows_in, "wall_ms": wall_ms, "salted": bool(salt)}
-                )
-            finally:
-                deltas.unpersist()
+            self.metrics.append(
+                {"epoch": epoch_id, "rows": rows_in, "wall_ms": wall_ms, "salted": bool(salt)}
+            )
         finally:
-            parsed.unpersist()
+            deltas.unpersist()
 
     # -- run -------------------------------------------------------------------
 

@@ -1,0 +1,121 @@
+"""Field-diff operators (J2/F3/F4) and file-folder sources (S8/S9)."""
+
+import datetime as dt
+
+from changedatacapture_spark.operators import diff
+from changedatacapture_spark.schemas import ENVELOPE_SCHEMA
+from changedatacapture_spark.sources import files
+
+
+def _env(spark):
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        # update changing text + lang
+        {
+            "op": "u",
+            "before": {"url": "u1", "warc_ts": ts, "html": None, "text": "old", "lang": "en", "extra": None},
+            "after": {"url": "u1", "warc_ts": ts, "html": None, "text": "new", "lang": "vi", "extra": None},
+            "source": {"db": "d", "table": "t", "file": "f", "pos": 1},
+            "ts_ms": 0,
+        },
+        # insert: everything 'added'
+        {
+            "op": "c",
+            "before": None,
+            "after": {"url": "u2", "warc_ts": ts, "html": None, "text": "x", "lang": "en", "extra": None},
+            "source": {"db": "d", "table": "t", "file": "f", "pos": 2},
+            "ts_ms": 0,
+        },
+        # no-op update (before == after) → no diff rows
+        {
+            "op": "u",
+            "before": {"url": "u3", "warc_ts": ts, "html": None, "text": "same", "lang": "en", "extra": None},
+            "after": {"url": "u3", "warc_ts": ts, "html": None, "text": "same", "lang": "en", "extra": None},
+            "source": {"db": "d", "table": "t", "file": "f", "pos": 3},
+            "ts_ms": 0,
+        },
+    ]
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def test_field_diff_classifies(spark):
+    from changedatacapture_spark.operators import envelope
+
+    parsed = envelope.parse_envelope(_env(spark), include_before=True)
+    d = diff.field_diff(parsed, fields=["text", "lang"])
+    got = {(r["url"], r["field"]): (r["old"], r["new"], r["change"]) for r in d.collect()}
+    assert got[("u1", "text")] == ("old", "new", "modified")
+    assert got[("u1", "lang")] == ("en", "vi", "modified")
+    assert got[("u2", "text")] == (None, "x", "added")
+    # no-op update suppressed (hash-skip analog, incremental_pinecone_updater.py:275-277)
+    assert not any(u == "u3" for (u, _f) in got)
+
+
+def test_format_changes(spark):
+    from changedatacapture_spark.operators import envelope
+
+    parsed = envelope.parse_envelope(_env(spark), include_before=True)
+    out = {
+        r["url"]: r["change_summary"]
+        for r in diff.format_changes(diff.field_diff(parsed, ["text", "lang"])).collect()
+    }
+    assert out["u1"] == "[UPDATED FIELDS]\nlang: Old: en -> New: vi\ntext: Old: old -> New: new"
+
+
+def test_format_content_skips_nulls(spark):
+    df = spark.createDataFrame([("a", None, "en")], "url string, text string, lang string")
+    out = diff.format_content(df, ["url", "text", "lang"]).first()["content"]
+    assert out == "url: a\nlang: en"
+
+
+def test_read_text_folder(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("1. Title\nbody\n")
+    (tmp_path / "b.txt").write_text("plain\n")
+    (tmp_path / "skip.bin").write_bytes(b"\x00")
+    df = files.read_text_folder(spark, str(tmp_path))
+    rows = {r["url"].split("/")[-1]: r["text"] for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"] == "1. Title\nbody\n"
+
+
+def test_read_binary_folder_feeds_transform(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark import oracle
+    from changedatacapture_spark.functions import transform
+
+    (tmp_path / "p.html").write_bytes(b"<html><h2>1. T</h2><p>body</p></html>")
+    df = files.read_binary_folder(spark, str(tmp_path), glob="*.html")
+    out = df.select(transform.extract_text_udf(F.col("html")).alias("text")).first()["text"]
+    assert out == oracle.html_to_text(b"<html><h2>1. T</h2><p>body</p></html>")
+
+
+def test_lake_compaction(spark, tmp_path):
+    import datetime as dt
+
+    from changedatacapture_spark.sinks.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+    )
+    for epoch in range(4):
+        rows = [(f"u{epoch}", ts + dt.timedelta(seconds=epoch), epoch + 1, "c", 0, f"v{epoch}")]
+        t.merge_lww(spark, spark.createDataFrame(rows, schema), epoch_id=epoch)
+    # delete u0 (tombstone)
+    t.merge_lww(
+        spark,
+        spark.createDataFrame([("u0", ts + dt.timedelta(hours=1), 99, "d", 1, None)], schema),
+        epoch_id=10,
+    )
+    assert t.read_raw(spark).count() == 4  # 3 live + u0's tombstone (LWW-replaced)
+    assert t.read(spark).count() == 3
+
+    snap = t.compact(spark, drop_tombstones_before=ts + dt.timedelta(hours=2))
+    assert snap["meta"] == {"compaction": True}
+    assert t.read_raw(spark).count() == 3  # tombstone aged out
+    assert sorted(r["url"] for r in t.read(spark).collect()) == ["u1", "u2", "u3"]
+    # one file per non-empty bucket after compaction
+    files_per_bucket = [len(v) for v in t.current_snapshot()["buckets"].values()]
+    assert all(n <= 1 for n in files_per_bucket)
