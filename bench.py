@@ -46,7 +46,7 @@ def build_spark(cores: int):
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"cdc-bench-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cores * 2, 16))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -128,7 +128,7 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
         # -- the north-star replay ------------------------------------------
         lake_dir = f"/tmp/cdc_bench_lake_{os.getpid()}"
         shutil.rmtree(lake_dir, ignore_errors=True)
-        pipe = CdcPipeline(lake_dir, n_buckets=64, with_chunks=False, auto_salt=True)
+        pipe = CdcPipeline(lake_dir, n_buckets=64, with_chunks=False)
 
         def replay():
             pipe.run_batch(spark, log_dir)

@@ -40,30 +40,36 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--events", type=int, default=None)
     ap.add_argument("--repeat", type=int, default=2, help="runs per level; best time wins")
+    ap.add_argument(
+        "--levels",
+        default="8,32",
+        help="comma-separated core counts for N and 4N (e.g. 2,8 or 8,32)",
+    )
     args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
 
     # interleave levels (8,32,8,32,…) and keep the best run per level — the
     # sandbox host's throughput fluctuates (noisy neighbors / throttling), so
     # alternating exposes both levels to the same drift and min() approximates
     # the uncontended time
     results = {}
-    all_runs: dict[int, list[float]] = {8: [], 32: []}
+    all_runs: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(args.repeat):
-        for cores in (8, 32):
+        for cores in (lo, hi):
             r = run_level(cores, args.sf_dir, args.events)
             t = r["queries"]["cdc_replay"]
             all_runs[cores].append(t)
             if cores not in results or t < results[cores]["queries"]["cdc_replay"]:
                 results[cores] = r
             print(f"local[{cores}]: {t}s ({r['events_per_sec']} events/s)", flush=True)
-    for cores in (8, 32):
+    for cores in (lo, hi):
         print(f"local[{cores}] best: {results[cores]['queries']['cdc_replay']}s "
               f"(all: {all_runs[cores]})", flush=True)
 
-    t8 = results[8]["queries"]["cdc_replay"]
-    t32 = results[32]["queries"]["cdc_replay"]
-    eff = (t8 / t32) / 4
-    n_events = results[8]["replay_events"]
+    t8 = results[lo]["queries"]["cdc_replay"]
+    t32 = results[hi]["queries"]["cdc_replay"]
+    eff = (t8 / t32) / (hi / lo)
+    n_events = results[lo]["replay_events"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -71,28 +77,28 @@ def main():
 
 Protocol (BASELINE.md sandbox evidence): the same end-to-end CDC replay job
 (`bench.py --only cdc_replay`) on the same generated change log, run at two
-parallelism levels in fresh JVMs — `local[8]` vs `local[32]` (8→32 cores =
-N→4N executors). Best of {args.repeat} runs per level.
+parallelism levels in fresh JVMs — `local[{lo}]` vs `local[{hi}]` ({lo}→{hi} cores =
+N→4N executors). Best of {args.repeat} runs per level, levels interleaved.
 
 | level | cores | wall sec | events/sec |
 |---|---|---|---|
-| N  | 8  | {t8:.3f} | {results[8]['events_per_sec']:.1f} |
-| 4N | 32 | {t32:.3f} | {results[32]['events_per_sec']:.1f} |
+| N  | {lo}  | {t8:.3f} | {results[lo]['events_per_sec']:.1f} |
+| 4N | {hi} | {t32:.3f} | {results[hi]['events_per_sec']:.1f} |
 
 - replay log: {n_events} envelope events (hot-url skew 5%, Zipf-style), sf
   dir `{args.sf_dir}`
 - job: parse envelope → LWW winners (map-side-combine max_by, auto-salted) →
   html→text pandas-UDF transform → bucketed lake MERGE (64 buckets) with
   atomic snapshot commit
-- **speedup 8→32 cores: {t8 / t32:.2f}×**
-- **scaling efficiency = (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8)
+- **speedup {lo}→{hi} cores: {t8 / t32:.2f}×**
+- **scaling efficiency = (T_N/T_4N)/4 = {eff:.3f}** (target ≥ 0.8)
 
 Reference single-node baseline (BASELINE.md): ~0.3–3 events/sec/process on
 the re-chunk/incremental paths; this engine applies
-{results[32]['events_per_sec']:.0f} events/sec at local[32] —
-{results[32]['events_per_sec'] / 3:.0f}×+ the reference's best serial rate.
+{results[hi]['events_per_sec']:.0f} events/sec at local[{hi}] —
+{results[hi]['events_per_sec'] / 3:.0f}×+ the reference's best serial rate.
 """)
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+    print(json.dumps({"levels": [lo, hi], "t_n": t8, "t_4n": t32, "efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,56 @@ class LineageLog:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
+    def record_rows(
+        self,
+        rows: list,
+        epoch_id: int,
+        *,
+        snapshot_id: int | None,
+        rows_applied: int | None = None,
+        wall_ms: int | None = None,
+    ) -> None:
+        """Driver-side write of already-collected lineage rows (they are tiny
+        — one per input partition): a pyarrow write instead of a Spark job,
+        so lineage costs no scheduler round-trip per epoch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "epoch_id": int(epoch_id),
+                    "partition_id": int(r["partition_id"]),
+                    "rows_in": int(r["rows_in"]),
+                    "min_pos": None if r["min_pos"] is None else int(r["min_pos"]),
+                    "max_pos": None if r["max_pos"] is None else int(r["max_pos"]),
+                    "files": list(r["files"] or []),
+                    "snapshot_id": snapshot_id,
+                    "rows_applied": rows_applied,
+                    "wall_ms": wall_ms,
+                }
+                for r in rows
+            ],
+            schema=pa.schema(
+                [
+                    ("epoch_id", pa.int64()),
+                    ("partition_id", pa.int32()),
+                    ("rows_in", pa.int64()),
+                    ("min_pos", pa.int64()),
+                    ("max_pos", pa.int64()),
+                    ("files", pa.list_(pa.string())),
+                    ("snapshot_id", pa.int64()),
+                    ("rows_applied", pa.int64()),
+                    ("wall_ms", pa.int64()),
+                ]
+            ),
+        )
+        d = os.path.join(self.path, f"epoch-{epoch_id:012d}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "_part-0.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+
     def record(
         self,
         lineage_df: DataFrame,

@@ -82,10 +82,17 @@ class CdcPipeline:
             # within a map partition is itself the bottleneck. Off by default.
             salt = skew.choose_salt_buckets(parsed)
 
-        # pass 2: LWW winners (the only per-event shuffle), then the per-event
-        # transform on the ~|keys| winners, not the |events| raw stream
-        deltas = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
-        deltas = deltas.withColumn(
+        # pass 2: LWW winners (the only per-event shuffle), materialized
+        # BEFORE the transform — fusing ArrowEvalPython onto the sort-
+        # aggregate output anti-scales badly at high thread counts (measured
+        # 8× at 32 threads); on cached winners the UDF stage scales cleanly
+        winners_raw = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
+        winners_raw.persist()
+        # schema-evolution probe doubles as the cache materializer
+        keys = evolution.observed_extra_keys(winners_raw)
+        # the per-event transform on the ~|keys| winners, not the |events|
+        # raw stream
+        deltas = winners_raw.withColumn(
             "text",
             F.when(
                 F.col("text").isNull() & F.col("html").isNotNull(),
@@ -95,7 +102,6 @@ class CdcPipeline:
         deltas.persist()
         try:
             # schema evolution: promote newly-observed source columns
-            keys = evolution.observed_extra_keys(deltas)
             if keys:
                 deltas2 = evolution.promote_extra_columns(deltas, keys)
             else:
@@ -114,9 +120,9 @@ class CdcPipeline:
                 self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
 
             wall_ms = int((time.monotonic() - t0) * 1000)
-            lin = spark.createDataFrame(lin_rows, partition_lineage(parsed, epoch_id).schema)
-            self.lineage.record(
-                lin,
+            # driver-side pyarrow write: no Spark job for ~64 tiny rows
+            self.lineage.record_rows(
+                lin_rows,
                 epoch_id,
                 snapshot_id=snap["snapshot_id"],
                 rows_applied=rows_in,
@@ -127,6 +133,7 @@ class CdcPipeline:
             )
         finally:
             deltas.unpersist()
+            winners_raw.unpersist()
 
     # -- run -------------------------------------------------------------------
 
