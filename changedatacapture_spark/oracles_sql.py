@@ -200,6 +200,18 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT url, pos, val_cents FROM l WHERE op = 'u' AND prev = val_cents
     """,
+    "cdc_events_per_hour": f"""
+        WITH env AS ({_ENV})
+        SELECT CAST(warc_us // 3600000000 AS BIGINT) AS hour_bucket, op,
+               count(*) AS n_events, count(DISTINCT url) AS n_urls
+        FROM env GROUP BY 1, 2
+    """,
+    "cdc_site_activity": f"""
+        WITH env AS ({_ENV})
+        SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS site,
+               count(*) AS n_events
+        FROM env GROUP BY 1
+    """,
     "cdc_hot_urls": f"""
         WITH env AS ({_ENV})
         SELECT url, count(*) AS n FROM env GROUP BY url

@@ -171,6 +171,30 @@ def cdc_noop_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling rollup (integer hour buckets from epoch-micros so
+    the cross-engine compare is TZ-proof); the batch twin of
+    streaming.windows.change_rate."""
+    env = cdc_envelope(spark, sf_dir)
+    return (
+        env.groupBy(
+            F.expr("warc_us DIV 3600000000").alias("hour_bucket"),  # integer div: TZ- and FP-proof
+            F.col("op"),
+        )
+        .agg(F.count("*").alias("n_events"), F.countDistinct("url").alias("n_urls"))
+    )
+
+
+def cdc_site_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site activity rollup (the skew-monitoring view)."""
+    env = cdc_envelope(spark, sf_dir)
+    return (
+        env.select(F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1).alias("site"))
+        .groupBy("site")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def cdc_hot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew probe: urls holding >1% of all events (operators.skew heavy-hitter
     detection, exact version)."""
@@ -397,6 +421,8 @@ QUERIES = {
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,
     "cdc_hot_urls": cdc_hot_urls,
+    "cdc_events_per_hour": cdc_events_per_hour,
+    "cdc_site_activity": cdc_site_activity,
     "doc_chunks": doc_chunks,
     "doc_chunk_stats": doc_chunk_stats,
     "doc_token_counts": doc_token_counts,

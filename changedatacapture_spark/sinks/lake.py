@@ -188,8 +188,37 @@ class LakeTable:
         self._publish(new_snap)
         return new_snap
 
+    def probe_batch(self, deltas: DataFrame, has_extra: bool = True) -> tuple[list[int], list[str]]:
+        """One job returning (touched buckets, observed evolved-column keys) —
+        fuses the schema-evolution probe and the MERGE bucket probe so the
+        driver pays a single scheduler round-trip per epoch."""
+        aggs = [F.count("*").alias("_n")]
+        if has_extra and "extra" in deltas.columns:
+            aggs.append(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.map_keys(F.coalesce(F.col("extra"), F.expr("map()"))))
+                    )
+                ).alias("_ks")
+            )
+        rows = (
+            deltas.groupBy(_bucket_col(self.key, self.n_buckets).alias("_b"))
+            .agg(*aggs)
+            .collect()
+        )
+        touched = sorted(r["_b"] for r in rows)
+        keys: set[str] = set()
+        for r in rows:
+            if "_ks" in r.__fields__:
+                keys.update(r["_ks"])
+        return touched, sorted(keys)
+
     def merge_lww(
-        self, spark: SparkSession, deltas: DataFrame, epoch_id: int | None = None
+        self,
+        spark: SparkSession,
+        deltas: DataFrame,
+        epoch_id: int | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> dict | None:
         """MERGE the batch's per-key winners into the table under LWW.
 
@@ -212,8 +241,11 @@ class LakeTable:
         merged_schema = self._merged_schema(deltas)
         self._current_write_schema = merged_schema
 
-        deltas_b = deltas.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
-        touched = [r["_bucket"] for r in deltas_b.select("_bucket").distinct().collect()]
+        if touched_buckets is not None:
+            touched = list(touched_buckets)
+        else:
+            deltas_b = deltas.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+            touched = [r["_bucket"] for r in deltas_b.select("_bucket").distinct().collect()]
 
         snap = self.current_snapshot()
         existing_files: list[str] = []
@@ -222,7 +254,7 @@ class LakeTable:
                 existing_files.extend(snap["buckets"].get(str(b), []))
 
         cols = [n for n, _ in merged_schema]
-        aligned_new = _align_to(deltas_b.drop("_bucket"), merged_schema)
+        aligned_new = _align_to(deltas, merged_schema)
         if existing_files:
             existing = _align_to(spark.read.parquet(*existing_files), merged_schema)
             unioned = existing.unionByName(aligned_new)

@@ -47,6 +47,7 @@ class CdcPipeline:
         auto_salt: bool = False,
         with_chunks: bool = True,
         with_embeddings: bool = False,
+        embed_fn=None,
         watermark: str = "30 minutes",
     ):
         self.pages = LakeTable(os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets)
@@ -56,6 +57,7 @@ class CdcPipeline:
         self.auto_salt = auto_salt
         self.with_chunks = with_chunks
         self.with_embeddings = with_embeddings
+        self.embed_fn = embed_fn
         self.watermark = watermark
         self.metrics: list[dict] = []
 
@@ -63,6 +65,14 @@ class CdcPipeline:
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
+
+        def mark(name: str, since: list[float]) -> None:
+            now = time.monotonic()
+            phases[name] = round(now - since[0], 3)
+            since[0] = now
+
+        tick = [t0]
         spark = batch_df.sparkSession
         parsed = envelope.parse_envelope(batch_df)
 
@@ -70,6 +80,7 @@ class CdcPipeline:
         # its sum is the batch row count — no separate count() pass, no cache
         # of the raw events
         lin_rows = partition_lineage(parsed, epoch_id).collect()
+        mark("lineage", tick)
         rows_in = sum(r["rows_in"] for r in lin_rows)
         if rows_in == 0:
             return
@@ -88,8 +99,10 @@ class CdcPipeline:
         # 8× at 32 threads); on cached winners the UDF stage scales cleanly
         winners_raw = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
         winners_raw.persist()
-        # schema-evolution probe doubles as the cache materializer
-        keys = evolution.observed_extra_keys(winners_raw)
+        # one fused probe job: materializes the cache AND returns the MERGE's
+        # touched buckets + newly-observed evolved columns
+        touched, keys = self.pages.probe_batch(winners_raw)
+        mark("winners_probe", tick)
         # the per-event transform on the ~|keys| winners, not the |events|
         # raw stream
         deltas = winners_raw.withColumn(
@@ -107,17 +120,21 @@ class CdcPipeline:
             else:
                 deltas2 = deltas.drop("extra")
 
-            snap = self.pages.merge_lww(spark, deltas2, epoch_id=epoch_id)
+            snap = self.pages.merge_lww(
+                spark, deltas2, epoch_id=epoch_id, touched_buckets=touched
+            )
+            mark("merge", tick)
             if snap is None:
                 return  # epoch already committed (restart replay)
 
             if self.with_chunks:
                 upserted = deltas2.where(F.col("is_deleted") == 0).select("url", "text")
                 new_chunks = transform.chunk_pages(
-                    upserted, with_embeddings=self.with_embeddings
+                    upserted, with_embeddings=self.with_embeddings, embed_fn=self.embed_fn
                 )
                 all_keys = deltas2.select("url")
                 self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
+                mark("chunks", tick)
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             # driver-side pyarrow write: no Spark job for ~64 tiny rows
@@ -129,7 +146,14 @@ class CdcPipeline:
                 wall_ms=wall_ms,
             )
             self.metrics.append(
-                {"epoch": epoch_id, "rows": rows_in, "wall_ms": wall_ms, "salted": bool(salt)}
+                {
+                    "epoch": epoch_id,
+                    "rows": rows_in,
+                    "wall_ms": wall_ms,
+                    "salted": bool(salt),
+                    "end_mono": time.monotonic(),
+                    "phases": phases,
+                }
             )
         finally:
             deltas.unpersist()
