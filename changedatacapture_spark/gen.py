@@ -210,6 +210,56 @@ def generate_small(
     return events
 
 
+def write_jsonl_segments(
+    rows: list[dict[str, Any]],
+    out_dir: str,
+    *,
+    n_segments: int = 4,
+    corrupt_frac: float = 0.0,
+    seed: int = 42,
+) -> None:
+    """Serialize envelope rows as JSONL segments — the wire-faithful Debezium
+    feed (JSON on the topic, QUICK_START.md:256-288). html is base64 (how
+    from_json decodes BinaryType); timestamps are ISO-8601 UTC. Optionally
+    interleaves corrupt lines to exercise the P3 corrupt-row filter."""
+    import base64
+    import json
+
+    rng = random.Random(seed)
+
+    def conv_payload(p):
+        if p is None:
+            return None
+        q = dict(p)
+        if isinstance(q.get("warc_ts"), dt.datetime):
+            q["warc_ts"] = q["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        if q.get("html") is not None:
+            q["html"] = base64.b64encode(q["html"]).decode("ascii")
+        return q
+
+    lines: list[str] = []
+    for r in rows:
+        if corrupt_frac and rng.random() < corrupt_frac:
+            lines.append(rng.choice(["{not json", "", '{"op": 12, "source": "x"}']))
+        lines.append(
+            json.dumps(
+                {
+                    "op": r["op"],
+                    "before": conv_payload(r.get("before")),
+                    "after": conv_payload(r.get("after")),
+                    "source": r.get("source"),
+                    "ts_ms": r.get("ts_ms"),
+                },
+                ensure_ascii=False,
+            )
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    seg_size = max(1, (len(lines) + n_segments - 1) // n_segments)
+    for s in range(0, len(lines), seg_size):
+        with open(os.path.join(out_dir, f"segment-{s // seg_size:05d}.jsonl"), "w") as f:
+            f.write("\n".join(lines[s : s + seg_size]) + "\n")
+
+
 def _arrow_envelope_schema():
     import pyarrow as pa
 

@@ -32,6 +32,24 @@ def read_segments_stream(spark: SparkSession, segments_dir: str, max_files: int 
     return reader.parquet(segments_dir)
 
 
+def read_segments_jsonl(spark: SparkSession, segments_dir: str) -> DataFrame:
+    """JSONL binlog segments — the wire-faithful Debezium shape (the envelope
+    is JSON on the Kafka topic, QUICK_START.md:256-288). Corrupt lines parse
+    to an all-null struct and fall out at :func:`filter_tombstones` — the
+    engine's version of the reference's error-skip (kafka_cdc_to_rag.py:56-58).
+
+    Binary html is base64 inside JSON (from_json decodes BinaryType that way).
+    """
+    raw = spark.read.text(f"{segments_dir}/*.jsonl")
+    parsed = raw.select(F.from_json(F.col("value"), ENVELOPE_SCHEMA).alias("e"))
+    return parsed.select("e.*")
+
+
+def read_segments_jsonl_stream(spark: SparkSession, segments_dir: str) -> DataFrame:
+    raw = spark.readStream.text(f"{segments_dir}/*.jsonl")
+    return raw.select(F.from_json(F.col("value"), ENVELOPE_SCHEMA).alias("e")).select("e.*")
+
+
 def filter_tombstones(df: DataFrame) -> DataFrame:
     """Drop Kafka tombstones / corrupt rows: null op or null source
     (cdc_kafka_consumer.py:134-138, consumer_demo.py:29-31)."""

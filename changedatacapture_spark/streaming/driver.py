@@ -124,9 +124,14 @@ class CdcPipeline:
                 spark, deltas2, epoch_id=epoch_id, touched_buckets=touched
             )
             mark("merge", tick)
-            if snap is None:
-                return  # epoch already committed (restart replay)
+            pages_replayed = snap is None  # pages already committed this epoch
+            if pages_replayed and not self.with_chunks:
+                return
 
+            # IMPORTANT: even when the pages table already has this epoch
+            # (restart replay), the chunks table may not — a crash between the
+            # two commits must not lose the chunks epoch. replace_keys is
+            # itself idempotent, so re-attempting is safe either way.
             if self.with_chunks:
                 upserted = deltas2.where(F.col("is_deleted") == 0).select("url", "text")
                 new_chunks = transform.chunk_pages(
@@ -135,6 +140,9 @@ class CdcPipeline:
                 all_keys = deltas2.select("url")
                 self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
                 mark("chunks", tick)
+
+            if pages_replayed:
+                return  # lineage/metrics were already recorded for this epoch
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             # driver-side pyarrow write: no Spark job for ~64 tiny rows
