@@ -49,6 +49,7 @@ class CdcPipeline:
         with_embeddings: bool = False,
         embed_fn=None,
         watermark: str = "30 minutes",
+        compact_every: int | None = None,
     ):
         self.pages = LakeTable(os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets)
         self.chunks = LakeTable(os.path.join(base_dir, "chunks"), key="url", n_buckets=n_buckets)
@@ -59,6 +60,7 @@ class CdcPipeline:
         self.with_embeddings = with_embeddings
         self.embed_fn = embed_fn
         self.watermark = watermark
+        self.compact_every = compact_every
         self.metrics: list[dict] = []
 
     # -- the foreachBatch body -------------------------------------------------
@@ -153,6 +155,15 @@ class CdcPipeline:
                 rows_applied=rows_in,
                 wall_ms=wall_ms,
             )
+            # periodic maintenance: bound small files / aged tombstones
+            # (tombstone horizon = the watermark — older events can no longer
+            # arrive, so their tombstones are safe to drop)
+            if self.compact_every and (epoch_id + 1) % self.compact_every == 0:
+                self.pages.compact(spark)
+                if self.with_chunks:
+                    self.chunks.compact(spark)
+                mark("compact", tick)
+
             self.metrics.append(
                 {
                     "epoch": epoch_id,

@@ -101,3 +101,19 @@ def test_batch_bootstrap_equals_stream(spark, tmp_path, testdata_dir):
     pipe = CdcPipeline(str(tmp_path / "lake"), n_buckets=4)
     pipe.run_batch(spark, seg_dir)
     _check_final(spark, pipe, events)
+
+
+def test_stream_with_periodic_compaction(spark, tmp_path, testdata_dir):
+    """Auto-compaction mid-stream keeps results identical and bounds files."""
+    seg_dir = str(tmp_path / "log")
+    events = gen.generate_small(
+        seg_dir, n_urls=20, n_events=160, seed=47, n_segments=6, testdata_dir=testdata_dir
+    )
+    pipe = CdcPipeline(str(tmp_path / "lake"), n_buckets=4, compact_every=2)
+    pipe.run_stream(
+        spark, seg_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2, timeout_sec=300
+    )
+    _check_final(spark, pipe, events)
+    assert any("compact" in m.get("phases", {}) for m in pipe.metrics)
+    files_per_bucket = [len(v) for v in pipe.pages.current_snapshot()["buckets"].values()]
+    assert all(n <= 1 for n in files_per_bucket)
