@@ -32,6 +32,38 @@ def read_segments_stream(spark: SparkSession, segments_dir: str, max_files: int 
     return reader.parquet(segments_dir)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """The production source: the Debezium topic itself (reference consumers
+    S1-S4 poll ``{server}.{db}.{table}``, auto_gen_rag.py:27). Tombstones
+    (null Kafka values) become all-null envelopes and drop in
+    :func:`filter_tombstones`; the Kafka record key (the PK,
+    README.md:989-999) rides along as ``_kafka_key`` for partition auditing.
+
+    Not exercisable in this sandbox (no broker) — the file-segment sources
+    above are wire-equivalent and share every downstream operator; this
+    function is the one-line swap for a real deployment.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("e"),
+        F.col("key").cast("string").alias("_kafka_key"),
+    ).select("e.*", "_kafka_key")
+
+
 def read_segments_jsonl(spark: SparkSession, segments_dir: str) -> DataFrame:
     """JSONL binlog segments — the wire-faithful Debezium shape (the envelope
     is JSON on the Kafka topic, QUICK_START.md:256-288). Corrupt lines parse

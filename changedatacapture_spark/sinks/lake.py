@@ -177,6 +177,13 @@ class LakeTable:
         epochs = dict(snap["epochs"]) if snap else {}
         if epoch_id is not None:
             epochs[str(epoch_id)] = sid
+        # bound the idempotency log: Spark re-delivers only recent epochs
+        # after a restart (checkpointed offsets are monotonic), so a sliding
+        # window of the newest entries suffices — keeps snapshot JSON O(1)
+        # over a 10^10-event run instead of O(epochs)
+        if len(epochs) > 1000:
+            keep = sorted(epochs, key=int)[-1000:]
+            epochs = {k: epochs[k] for k in keep}
         new_snap = {
             "snapshot_id": sid,
             "parent": parent,
