@@ -36,6 +36,18 @@ def dot_micro(col: str, query: list[float]) -> F.Column:
     return F.round(s * 1_000_000).cast("bigint")
 
 
+def _seq_dot(a, b) -> float:
+    """Sequential left-fold dot product in plain doubles — the same IEEE
+    operation order as the Spark ``aggregate`` fold and DuckDB's
+    ``list_dot_product``, so driver-side scalars (query norm, query bucket)
+    are bit-identical across all three (numpy's pairwise/BLAS summation is
+    NOT — it reorders the fold)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def cosine_topk(
     emb: DataFrame,
     query: list[float],
@@ -47,7 +59,9 @@ def cosine_topk(
     compared by raw dot product — consistent for ranking when the corpus is
     normalized; for the driver's synthetic embeddings we rank by cos = dot /
     (|a||b|), all in micro-units)."""
-    qn = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
+    import math
+
+    qn = math.sqrt(_seq_dot(query, query))
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
@@ -111,8 +125,9 @@ def lsh_bucket_ann(
             b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         return b
 
-    qvec = np.asarray(query, dtype=np.float64)
-    qbucket = int(sum((1 << p) for p in range(n_planes) if float(planes[p] @ qvec) > 0))
+    qbucket = int(
+        sum((1 << p) for p in range(n_planes) if _seq_dot(planes[p], query) > 0)
+    )
     candidates = emb.withColumn("bucket", bucket_expr(vec_col)).where(F.col("bucket") == qbucket)
     return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col)
 

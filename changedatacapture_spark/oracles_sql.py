@@ -8,9 +8,12 @@ Determinism rules shared with queries.py:
 - double arithmetic is written with the same operation order as the Spark
   expression so IEEE results are bit-identical.
 
-Non-SQL-expressible queries (LSH-ANN probing, the Philox embedding stub) are
-intentionally absent → the driver records the weaker rows-only check; their
-semantics are pinned by pytest instead.
+Non-SQL-expressible queries (the Philox embedding stub) are intentionally
+absent → the driver records the weaker rows-only check; their semantics are
+pinned by pytest instead. The LSH-ANN twin IS expressible: the projection
+hyperplanes are deterministic (md5-seeded Philox), so they are inlined below
+as double literals and the fold reuses the already-proven list_dot_product
+parity (ann_cosine_topk).
 """
 
 _ENV = """
@@ -166,6 +169,51 @@ _LANG_SCORE_COLS = ", ".join(
     for lang, words in _LANG_WORDS.items()
 )
 
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 8) -> str:
+    """DuckDB twin of queries.ann_lsh_topk: the Philox hyperplanes inlined as
+    double literals (repr round-trips IEEE doubles; explicit DOUBLE[] cast
+    avoids DuckDB's decimal-literal default). Bucket + ranking folds reuse
+    list_dot_product, whose order parity with Spark's zip_with/aggregate fold
+    is proven by the green ann_cosine_topk row."""
+    from .functions.similarity import _projection_matrix
+
+    planes = _projection_matrix(dim, n_planes)
+
+    def arr(row) -> str:
+        return "CAST([" + ", ".join(repr(float(x)) for x in row) + "] AS DOUBLE[])"
+
+    def bucket_of(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {arr(planes[p])}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    return f"""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        qq AS (
+          SELECT qe, sqrt(list_dot_product(qe, qe)) AS qn,
+                 {bucket_of('qe')} AS qbucket
+          FROM q
+        ),
+        b AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 {bucket_of('CAST(embedding AS DOUBLE[])')} AS bucket
+          FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(round(list_dot_product(e, qq.qe)
+                          / (sqrt(list_dot_product(e, e)) * qq.qn) * 1000000)
+                    AS BIGINT) AS cos_micro
+        FROM b, qq
+        WHERE b.bucket = qq.qbucket
+        ORDER BY cos_micro DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "cdc_envelope": _ENV,
     "cdc_lww_winners": _WINNERS,
@@ -222,7 +270,9 @@ ORACLE_SQL: dict[str, str] = {
         WITH ch AS ({_CHUNKS})
         SELECT count(DISTINCT doc_id) AS total_documents,
                count(*) AS total_chunks,
-               sum(chunk_size) AS sum_chunk_size,
+               -- DuckDB sum(INT) is HUGEINT (int128); Spark's is BIGINT — the
+               -- driver's value-hash is type-sensitive, so cast to match
+               CAST(sum(chunk_size) AS BIGINT) AS sum_chunk_size,
                CAST((sum(chunk_size) * 1000000) // count(*) AS BIGINT) AS avg_chunk_size_micro
         FROM ch
     """,
@@ -269,6 +319,7 @@ ORACLE_SQL: dict[str, str] = {
         votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM votes
     """,
+    "ann_lsh_topk": _lsh_topk_sql(),
     "ann_cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -199,11 +199,14 @@ def cdc_hot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew probe: urls holding >1% of all events (operators.skew heavy-hitter
     detection, exact version)."""
     env = cdc_envelope(spark, sf_dir)
-    total = env.count()
+    counts = env.groupBy("url").agg(F.count("*").alias("n"))
+    # scalar total derived from the (already tiny) counts via a 1-row cross
+    # join — ONE job, one scan of the input (the previous version ran a
+    # separate env.count() driver action first)
+    total = counts.agg(F.sum("n").alias("_total"))
     return (
-        env.groupBy("url")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") * 100 > total)
+        counts.crossJoin(total)
+        .where(F.col("n") * 100 > F.col("_total"))
         .select("url", "n")
     )
 
@@ -342,17 +345,49 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — rows-only oracle; recall vs brute
-    force is pinned by tests/test_similarity.py."""
+    """LSH-bucketed ANN (scale path). Full oracle: the Philox hyperplanes are
+    deterministic, so the DuckDB twin inlines them as double literals
+    (oracles_sql._lsh_topk_sql); recall vs brute force is additionally pinned
+    by tests/test_similarity.py."""
     q = _query_vector(spark, sf_dir)
     return sim_fn.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), q, k=10)
 
 
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12: the embedding stage (deterministic stub) — rows-only oracle."""
+    """F12: the embedding stage (deterministic Philox stub) — rows-only
+    oracle (the stub itself is not SQL-expressible). The gate row is a
+    hashable scalar projection (the driver's canonicalizer sorts row values
+    and cannot hash raw array<float>); raw-vector semantics are pinned by
+    tests/test_transform_parity.py."""
     docs = load(spark, sf_dir, "documents").limit(50)
+    e = F.col("e")
+    as_double = lambda x: x.cast("double")  # noqa: E731
     return docs.select(
-        "doc_id", transform.embed_stub_udf(F.col("text")).alias("embedding")
+        "doc_id", transform.embed_stub_udf(F.col("text")).alias("e")
+    ).select(
+        "doc_id",
+        F.size(e).alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(e, lambda x: as_double(x) * as_double(x)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("norm_micro"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    e,
+                    lambda x: F.round(as_double(x) * 1_000_000).cast("bigint").cast("string"),
+                ),
+            )
+        ).alias("vec_md5"),
     )
 
 

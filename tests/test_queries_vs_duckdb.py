@@ -24,11 +24,24 @@ def duck():
     con.close()
 
 
-def _norm(rows):
-    out = []
-    for r in rows:
-        out.append(tuple("NULL" if v is None else str(v) for v in r))
-    return sorted(out)
+def _canon_value(v):
+    """Type-sensitive canonicalization matching the driver's gate, which
+    hashes pandas values: a DuckDB HUGEINT that lands as float64 (or Decimal)
+    must NOT compare equal to a Spark BIGINT — `str()` alone masked exactly
+    that class of mismatch in round 1 (doc_chunk_stats)."""
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (list, tuple, bytes)) and pd.isna(v)):
+        return "NULL"
+    if hasattr(v, "item"):  # numpy scalar → python scalar, keeping the kind
+        v = v.item()
+    if isinstance(v, bytes):
+        return f"bytes:{v.hex()}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def _norm_df(pdf):
+    return sorted(tuple(_canon_value(v) for v in row) for row in pdf.itertuples(index=False))
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
@@ -36,11 +49,11 @@ def test_query_matches_duckdb(spark, duck, name):
     q = QUERIES[name]
     sdf = q(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = _norm([tuple(r) for r in sdf.collect()])
+    spark_rows = _norm_df(sdf.toPandas())
 
     res = duck.execute(ORACLE_SQL[name])
     duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = _norm(res.fetchall())
+    duck_rows = _norm_df(res.df())
 
     assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     assert len(spark_rows) == len(duck_rows), (
