@@ -224,18 +224,26 @@ def extract_pages(df: DataFrame) -> DataFrame:
 
 
 def chunk_pages(
-    pages: DataFrame, with_embeddings: bool = False, embed_fn=None
+    pages: DataFrame,
+    with_embeddings: bool = False,
+    embed_fn=None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages(url, text, ...) → chunks table (1 row per section chunk).
 
     Deterministic chunk ids ``{url}_chunk_{index}`` replace the reference's
     uuid4 ids (main.py:909) — uuids break idempotent replay (SURVEY.md §2.8
     F7), so the engine derives the sink key from (url, chunk_index).
+    ``carry`` columns (e.g. the LWW order key op/warc_ts/pos for the
+    merge-on-read chunks table) pass through the explode unchanged.
     """
     chunks = (
-        pages.select("url", F.posexplode(chunk_udf(F.col("text"))).alias("chunk_index", "c"))
+        pages.select(
+            "url", *carry, F.posexplode(chunk_udf(F.col("text"))).alias("chunk_index", "c")
+        )
         .select(
             "url",
+            *carry,
             F.col("chunk_index").cast("int").alias("chunk_index"),
             F.col("c.section_title").alias("section_title"),
             F.col("c.content").alias("content"),

@@ -28,17 +28,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _order_key() -> F.Column:
-    """Order struct: stream events (c/u/d) beat snapshot reads; streams by
-    (warc_ts, pos) ascending-max = last writer; snapshots inverted so the
-    *first* snapshot row wins (insert-if-absent)."""
-    is_stream = F.when(F.col("op") == "r", F.lit(0)).otherwise(F.lit(1))
-    ts_us = F.unix_micros(F.col("warc_ts"))
+def order_key_cols(op: F.Column, warc_ts: F.Column, pos: F.Column) -> F.Column:
+    """Order struct over explicit columns: stream events (c/u/d) beat snapshot
+    reads; streams by (warc_ts, pos) ascending-max = last writer; snapshots
+    inverted so the *first* snapshot row wins (insert-if-absent).
+
+    Contract assumption (Debezium snapshot-first, create_connector.bat:23):
+    no stream event for a key precedes that key's snapshot read in event
+    time. If a feed violated it — e.g. a 'd' with warc_ts BEFORE an 'r' of
+    the same key — this total order still deletes the key (stream > snapshot
+    unconditionally), whereas a global (warc_ts, pos) sort would apply the
+    'r' after the 'd' and keep it. tests/test_fold.py pins the engine's
+    intended behavior for that edge.
+    """
+    is_stream = F.when(op == "r", F.lit(0)).otherwise(F.lit(1))
+    ts_us = F.unix_micros(warc_ts)
     return F.struct(
         is_stream.alias("k0"),
-        F.when(F.col("op") == "r", -ts_us).otherwise(ts_us).alias("k1"),
-        F.when(F.col("op") == "r", -F.col("pos")).otherwise(F.col("pos")).alias("k2"),
+        F.when(op == "r", -ts_us).otherwise(ts_us).alias("k1"),
+        F.when(op == "r", -pos).otherwise(pos).alias("k2"),
     )
+
+
+def _order_key() -> F.Column:
+    return order_key_cols(F.col("op"), F.col("warc_ts"), F.col("pos"))
 
 
 def dedup_deliveries(parsed: DataFrame) -> DataFrame:

@@ -44,6 +44,13 @@ class LineageLog:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
+    def has_epoch(self, epoch_id: int) -> bool:
+        """True iff this epoch's lineage file was published (used by the
+        replay path to backfill a record lost to a crash between the data
+        commit and the lineage write — ADVICE r1)."""
+        d = os.path.join(self.path, f"epoch-{epoch_id:012d}")
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
     def record_rows(
         self,
         rows: list,

@@ -10,9 +10,15 @@ Shape:
   1. parse envelope, drop tombstones (operators.envelope)
   2. per-key LWW winners, salted when the batch is skewed (operators.lww/skew)
   3. schema evolution: promote new ``extra`` keys to columns (operators.evolution)
-  4. pages MERGE (sinks.lake.merge_lww) — idempotent per epoch
-  5. derived chunks: re-chunk upserted urls, drop deleted urls' chunks
-     (functions.transform + sinks.lake.replace_keys) — idempotent per epoch
+  4. pages MERGE (sinks.lake.merge_lww, merge-on-read append) — idempotent
+  5. derived chunks for keys whose batch winner actually WON the pages merge
+     AND whose content changed (the reference's incremental trick: re-embed
+     only changed content, incremental_pinecone_updater.py:245-277); within a
+     re-chunked page, unchanged chunks reuse their existing embeddings
+     (chunk-level skip, RAG_INCREMENTAL_GUIDE.md:255-264). Chunk sets merge
+     under the same LWW order key (sinks.lake.merge_sets), so a batch winner
+     that LOST the pages merge never clobbers newer chunks (cross-table
+     consistency — ADVICE r1 high).
   6. lineage + throughput record (sinks.lineage)
 
 Exactly-once: Spark's checkpoint guarantees each micro-batch is re-delivered
@@ -33,8 +39,11 @@ from pyspark.sql import functions as F
 from ..functions import transform
 from ..operators import apply as apply_ops
 from ..operators import envelope, evolution, skew
+from ..operators.lww import order_key_cols
 from ..sinks.lake import LakeTable
 from ..sinks.lineage import LineageLog, partition_lineage
+
+_CHUNK_CARRY = ("op", "warc_ts", "pos")
 
 
 class CdcPipeline:
@@ -48,17 +57,23 @@ class CdcPipeline:
         with_chunks: bool = True,
         with_embeddings: bool = False,
         embed_fn=None,
+        reuse_embeddings: bool = True,
         watermark: str = "30 minutes",
         compact_every: int | None = None,
     ):
-        self.pages = LakeTable(os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets)
-        self.chunks = LakeTable(os.path.join(base_dir, "chunks"), key="url", n_buckets=n_buckets)
+        self.pages = LakeTable(
+            os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets, mode="row"
+        )
+        self.chunks = LakeTable(
+            os.path.join(base_dir, "chunks"), key="url", n_buckets=n_buckets, mode="set"
+        )
         self.lineage = LineageLog(os.path.join(base_dir, "lineage"))
         self.salt_buckets = salt_buckets
         self.auto_salt = auto_salt
         self.with_chunks = with_chunks
         self.with_embeddings = with_embeddings
         self.embed_fn = embed_fn
+        self.reuse_embeddings = reuse_embeddings
         self.watermark = watermark
         self.compact_every = compact_every
         self.metrics: list[dict] = []
@@ -121,10 +136,24 @@ class CdcPipeline:
                 deltas2 = evolution.promote_extra_columns(deltas, keys)
             else:
                 deltas2 = deltas.drop("extra")
-
-            snap = self.pages.merge_lww(
-                spark, deltas2, epoch_id=epoch_id, touched_buckets=touched
+            # content hash stored in the table — the change-skip key
+            # (incremental_pinecone_updater.py:139-141)
+            deltas2 = deltas2.withColumn(
+                "content_hash",
+                F.when(F.col("is_deleted") == 0, transform.content_hash_col("text")),
             )
+
+            # capture the PRE-merge winners of the touched buckets (lazy: the
+            # file list is pinned now from the current snapshot, so executing
+            # this plan after the merge still reads pre-merge state). Only the
+            # key/order/hash columns are read — never payload bytes.
+            cur = None
+            if self.with_chunks:
+                cur = self.pages.read_bucket_winners(
+                    spark, touched, columns=["content_hash", "is_deleted"]
+                )
+
+            snap = self.pages.merge_lww(spark, deltas2, epoch_id=epoch_id)
             mark("merge", tick)
             pages_replayed = snap is None  # pages already committed this epoch
             if pages_replayed and not self.with_chunks:
@@ -132,19 +161,25 @@ class CdcPipeline:
 
             # IMPORTANT: even when the pages table already has this epoch
             # (restart replay), the chunks table may not — a crash between the
-            # two commits must not lose the chunks epoch. replace_keys is
-            # itself idempotent, so re-attempting is safe either way.
+            # two commits must not lose the chunks epoch. merge_sets is
+            # itself idempotent, so re-attempting is safe either way. On the
+            # replay path the content-hash skip is DISABLED: `cur` then
+            # reflects post-merge state (hash always equal for won keys), and
+            # skipping would permanently lose the crashed chunks epoch.
             if self.with_chunks:
-                upserted = deltas2.where(F.col("is_deleted") == 0).select("url", "text")
-                new_chunks = transform.chunk_pages(
-                    upserted, with_embeddings=self.with_embeddings, embed_fn=self.embed_fn
+                self._apply_chunks(
+                    spark, deltas2, cur, touched, epoch_id, allow_skip=not pages_replayed
                 )
-                all_keys = deltas2.select("url")
-                self.chunks.replace_keys(spark, new_chunks, all_keys, epoch_id=epoch_id)
                 mark("chunks", tick)
 
             if pages_replayed:
-                return  # lineage/metrics were already recorded for this epoch
+                # backfill lineage lost to a crash between the pages commit
+                # and the lineage write (idempotent epoch-named overwrite)
+                if not self.lineage.has_epoch(epoch_id):
+                    self.lineage.record_rows(
+                        lin_rows, epoch_id, snapshot_id=None, rows_applied=rows_in, wall_ms=None
+                    )
+                return
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             # driver-side pyarrow write: no Spark job for ~64 tiny rows
@@ -155,9 +190,9 @@ class CdcPipeline:
                 rows_applied=rows_in,
                 wall_ms=wall_ms,
             )
-            # periodic maintenance: bound small files / aged tombstones
-            # (tombstone horizon = the watermark — older events can no longer
-            # arrive, so their tombstones are safe to drop)
+            # periodic maintenance: fold merge-on-read deltas / aged
+            # tombstones (tombstone horizon = the watermark — older events
+            # can no longer arrive, so their tombstones are safe to drop)
             if self.compact_every and (epoch_id + 1) % self.compact_every == 0:
                 self.pages.compact(spark)
                 if self.with_chunks:
@@ -177,6 +212,140 @@ class CdcPipeline:
         finally:
             deltas.unpersist()
             winners_raw.unpersist()
+
+    # -- derived chunks ---------------------------------------------------------
+
+    def _apply_chunks(
+        self,
+        spark: SparkSession,
+        deltas2: DataFrame,
+        cur: DataFrame | None,
+        touched: list[int],
+        epoch_id: int,
+        allow_skip: bool,
+    ) -> None:
+        """Chunk/embed only what the merge outcome requires:
+
+        - keys whose batch winner LOST the pages LWW (a late event older than
+          the stored row) take **no** chunk action — deriving chunks from the
+          batch winner regardless was the r1 cross-table divergence (ADVICE
+          high);
+        - won keys whose content hash is unchanged skip re-chunk/re-embed
+          entirely (the reference's 95-99.9% incremental cost cut,
+          incremental_pinecone_updater.py:245-277);
+        - won keys are re-chunked; unchanged chunks within them reuse stored
+          embeddings, only changed chunks hit the embedding stage.
+        """
+        if str(epoch_id) in self.chunks.committed_epochs():
+            return  # replayed chunks epoch: skip plan construction entirely
+
+        b_key = order_key_cols(F.col("op"), F.col("warc_ts"), F.col("pos"))
+        if cur is None:
+            changed = deltas2
+        else:
+            t = cur.select(
+                F.col("url"),
+                F.col("op").alias("_t_op"),
+                F.col("warc_ts").alias("_t_ts"),
+                F.col("pos").alias("_t_pos"),
+                (
+                    F.col("content_hash") if "content_hash" in cur.columns else F.lit(None)
+                ).alias("_t_hash"),
+                (
+                    F.col("is_deleted") if "is_deleted" in cur.columns else F.lit(0)
+                ).alias("_t_del"),
+            )
+            t_key = order_key_cols(F.col("_t_op"), F.col("_t_ts"), F.col("_t_pos"))
+            j = deltas2.join(t, "url", "left")
+            won = j.where(F.col("_t_pos").isNull() | (b_key >= t_key))
+            if allow_skip:
+                target_live = F.col("_t_pos").isNotNull() & (
+                    F.coalesce(F.col("_t_del"), F.lit(0)) == 0
+                )
+                noop = (
+                    (F.col("is_deleted") == 0)
+                    & target_live
+                    & (F.col("_t_hash") == F.col("content_hash"))
+                )
+                # a winning tombstone over an already-dead/absent key needs no
+                # chunk action either (its chunk tombstone was committed when
+                # the earlier delete's epoch applied — epochs are sequential)
+                dead_noop = (F.col("is_deleted") == 1) & ~target_live
+                changed = won.where(~F.coalesce(noop | dead_noop, F.lit(False)))
+            else:
+                changed = won
+
+        changed = changed.select("url", "text", "op", "warc_ts", "pos", "is_deleted")
+        changed.persist()
+        chunked = None
+        j_emb = None
+        try:
+            upserts = changed.where(F.col("is_deleted") == 0)
+            chunked = transform.chunk_pages(
+                upserts.select("url", *_CHUNK_CARRY, "text"), carry=_CHUNK_CARRY
+            )
+            chunked.persist()  # the chunk UDF must run once, not per branch
+            if self.with_embeddings:
+                emb_chunks, j_emb = self._embed_with_reuse(spark, chunked, touched)
+            else:
+                emb_chunks = chunked
+
+            # urls with no surviving chunks (zero-section text) and winning
+            # deletes both become a single LWW set-tombstone marker
+            no_chunk = upserts.join(
+                chunked.select("url").distinct(), "url", "left_anti"
+            ).select("url", *_CHUNK_CARRY)
+            dels = changed.where(F.col("is_deleted") == 1).select("url", *_CHUNK_CARRY)
+            tombs = dels.unionByName(no_chunk).withColumn("is_deleted", F.lit(1))
+
+            rows = emb_chunks.withColumn("is_deleted", F.lit(0)).unionByName(
+                tombs, allowMissingColumns=True
+            )
+            self.chunks.merge_sets(spark, rows, epoch_id=epoch_id)
+        finally:
+            changed.unpersist()
+            if chunked is not None:
+                chunked.unpersist()
+            if j_emb is not None:
+                j_emb.unpersist()
+
+    def _embed_with_reuse(
+        self, spark: SparkSession, new_chunks: DataFrame, touched: list[int]
+    ):
+        """Embed only chunks whose content actually changed: unchanged
+        (url, chunk_index, content) triples take their embedding from the
+        stored chunk row (column-pruned read of the touched buckets). For an
+        update that edits one section of a page, only that section's chunks
+        pay the model. Returns (chunks_with_embeddings, persisted_join)."""
+        fn = self.embed_fn if self.embed_fn is not None else transform.embed_stub_udf
+        ex = None
+        if self.reuse_embeddings:
+            ex = self.chunks.read_bucket_winners(
+                spark, touched, columns=["chunk_index", "content", "embedding", "is_deleted"]
+            )
+            if ex is not None and "embedding" not in ex.columns:
+                ex = None
+        if ex is None:
+            return new_chunks.withColumn("embedding", fn(F.col("content"))), None
+
+        ex = ex.where(F.coalesce(F.col("is_deleted"), F.lit(0)) == 0).select(
+            "url",
+            "chunk_index",
+            F.col("content").alias("_ex_content"),
+            F.col("embedding").alias("_ex_emb"),
+        )
+        j = new_chunks.join(ex, ["url", "chunk_index"], "left")
+        j.persist()  # both branches below scan it; also breaks agg→Arrow fusion
+        reuse_ok = F.coalesce(
+            F.col("_ex_emb").isNotNull() & (F.col("_ex_content") == F.col("content")),
+            F.lit(False),
+        )
+        reused = j.where(reuse_ok).withColumn("embedding", F.col("_ex_emb"))
+        need = j.where(~reuse_ok).withColumn("embedding", fn(F.col("content")))
+        out = reused.drop("_ex_content", "_ex_emb").unionByName(
+            need.drop("_ex_content", "_ex_emb")
+        )
+        return out, j
 
     # -- run -------------------------------------------------------------------
 
