@@ -65,14 +65,17 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_log_dir(sf: float, n_events: int) -> str:
-    return f"/tmp/cdc_bench_cache/log_sf{sf}_{n_events}"
+def bench_log_dir(sf: float, n_events: int, noop_frac: float = 0.0) -> str:
+    tag = f"_noop{int(noop_frac * 100)}" if noop_frac else ""
+    return f"/tmp/cdc_bench_cache/log_sf{sf}_{n_events}{tag}"
 
 
-def ensure_bench_log(spark, sf_dir: str, n_events: int, n_urls: int) -> str:
+def ensure_bench_log(
+    spark, sf_dir: str, n_events: int, n_urls: int, noop_frac: float = 0.0
+) -> str:
     from changedatacapture_spark import gen
 
-    out = bench_log_dir(_sf_of(sf_dir), n_events)
+    out = bench_log_dir(_sf_of(sf_dir), n_events, noop_frac)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
@@ -84,9 +87,31 @@ def ensure_bench_log(spark, sf_dir: str, n_events: int, n_urls: int) -> str:
             n_segments=64,
             pool_size=256,
             hot_frac=0.05,
+            noop_frac=noop_frac,
             testdata_dir=sf_dir,
         )
     return out
+
+
+def _parquet_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _live_bytes(table) -> int:
+    snap = table.current_snapshot()
+    if not snap:
+        return 0
+    return sum(
+        os.path.getsize(f)
+        for bf in snap["buckets"].values()
+        for f in bf
+        if os.path.exists(f)
+    )
 
 
 def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: int | None = None):
@@ -154,10 +179,10 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
         # executors on a real cluster. The embedding stage uses the
         # compute-realistic stand-in (still ~30× cheaper than the reference's
         # real CPU model, so the events/sec comparison is conservative).
-        def stream_replay():
-            stream_lake = f"/tmp/cdc_bench_slake_{os.getpid()}"
+        def stream_replay(tag: str, src_dir: str, prefix: str):
+            stream_lake = f"/tmp/cdc_bench_slake_{tag}_{os.getpid()}"
             shutil.rmtree(stream_lake, ignore_errors=True)
-            n_files = len([f for f in os.listdir(log_dir) if f.endswith(".parquet")])
+            n_files = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
             per_trigger = max(1, n_files // 4)
             spipe = CdcPipeline(
                 stream_lake,
@@ -165,10 +190,16 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
                 with_chunks=True,
                 with_embeddings=True,
                 embed_fn=transform.embed_sim_udf,
+                # the generator's updates replace the WHOLE body, so chunk-
+                # level embedding reuse can never match — disable the reuse
+                # read (a feed with partial edits or an expensive model turns
+                # it on; tests/test_incremental_chunks.py pins the semantics).
+                # The url-level content-hash skip stays active either way.
+                reuse_embeddings=False,
             )
             spipe.run_stream(
                 spark,
-                log_dir,
+                src_dir,
                 f"{stream_lake}/_ckpt",
                 max_files_per_trigger=per_trigger,
                 timeout_sec=3600,
@@ -177,11 +208,33 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
             if len(m) >= 3:
                 steady_rows = sum(x["rows"] for x in m[1:])
                 steady_sec = m[-1]["end_mono"] - m[0]["end_mono"]
-                extras["steady_events_per_sec"] = round(steady_rows / steady_sec, 1)
-                extras["steady_epochs"] = len(m) - 1
+                extras[f"{prefix}events_per_sec"] = round(steady_rows / steady_sec, 1)
+                extras[f"{prefix}epochs"] = len(m) - 1
+            # merge-on-read evidence: bytes physically written across all
+            # epochs vs the final live table — copy-on-write rewrote every
+            # touched bucket per epoch (amplification ≈ n_epochs); MOR
+            # appends O(batch) so the ratio stays ~1
+            written = _parquet_bytes(f"{stream_lake}/pages/data") + _parquet_bytes(
+                f"{stream_lake}/chunks/data"
+            )
+            live = _live_bytes(spipe.pages) + _live_bytes(spipe.chunks)
+            if live:
+                extras[f"{prefix}bytes_written_mb"] = round(written / 1e6, 1)
+                extras[f"{prefix}write_amplification"] = round(written / live, 3)
             shutil.rmtree(stream_lake, ignore_errors=True)
 
-        timed("cdc_stream", stream_replay)
+        timed("cdc_stream", lambda: stream_replay("full", log_dir, "steady_"))
+
+        # -- update-heavy feed: 80% of urls carry content-no-op updates -------
+        # (metadata-only row updates — the common CDC case). The content-hash
+        # skip means only changed urls re-chunk/re-embed; the reference
+        # re-embeds every update (its incremental mode claims the same skip,
+        # incremental_pinecone_updater.py:245-277 — this is our twin of it).
+        def stream_noop():
+            noop_log = ensure_bench_log(spark, sf_dir, n_events, n_urls, noop_frac=0.8)
+            stream_replay("noop", noop_log, "noop_")
+
+        timed("cdc_stream_noop", stream_noop)
 
         # -- derived chunks over the final pages ----------------------------
         def chunks():

@@ -41,22 +41,34 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """(doc_id, hash_index, minhash) — min over md5('{i}:'||shingle).
+MINHASH_P = (1 << 61) - 1  # Mersenne prime modulus for the permutation family
 
-    One aggregation with map-side combine; no O(n²) anything.
+
+def minhash_perm_consts(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash constants a_i, b_i < 2^31 (golden-ratio /
+    murmur multipliers) — shared verbatim with the DuckDB oracle twin."""
+    a = [((0x9E3779B1 * (i + 1)) % (1 << 31)) | 1 for i in range(num_hashes)]
+    b = [(0x85EBCA77 * (i + 1)) % (1 << 31) for i in range(num_hashes)]
+    return a, b
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Wide signature row (doc_id, m0..m{n-1}).
+
+    ONE md5 per shingle (round 1 computed ``num_hashes`` md5s per shingle —
+    the dominant cost of the whole dedup stage, VERDICT r1 #6), expanded to
+    ``num_hashes`` arithmetic permutations ``(a_i·h + b_i) mod p`` with
+    p = 2^61-1 and a_i, b_i < 2^31, so products stay below 2^63 (no ANSI
+    overflow). One aggregation with map-side combine; the shuffle carries
+    ONE wide row per (doc × map partition), not ``num_hashes`` rows.
     """
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hi")
-    return (
-        sh.select("doc_id", "shingle", idx)
-        .select(
-            "doc_id",
-            "hi",
-            F.md5(F.concat(F.col("hi").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "hi")
-        .agg(F.min("h").alias("minhash"))
-    )
+    a, b = minhash_perm_consts(num_hashes)
+    h32 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint")
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("_h32") + F.lit(b[i])) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.withColumn("_h32", h32).groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -69,14 +81,24 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
-    band key = md5 of the band's concatenated minhashes; the self-join is on
+    band key = md5 of the band's '|'-joined minhashes; the self-join is on
     (band, key) so only same-bucket docs ever meet.
     """
     sig = minhash_signatures(shingles(df, id_col, text_col), bands * rows_per_band)
-    bandkeys = (
-        sig.withColumn("band", (F.col("hi") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("hi").cast("string"), F.col("minhash")))))).alias("bkey"))
+    band_key = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"m{bd * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for bd in range(bands)
+    ]
+    bandkeys = sig.select(
+        "doc_id", F.posexplode(F.array(*band_key)).alias("band", "bkey")
     )
     a = bandkeys.alias("a")
     b = bandkeys.alias("b")

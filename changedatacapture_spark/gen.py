@@ -320,6 +320,7 @@ def generate_bench(
     pool_size: int = 512,
     seed: int = 42,
     hot_frac: float = 0.05,
+    noop_frac: float = 0.0,
     testdata_dir: str | None = None,
 ) -> None:
     """Scalable generator: no driver-side per-event loop. A small broadcast
@@ -331,6 +332,11 @@ def generate_bench(
     — ``spark.range`` partitions linearly, the body pool is broadcast (a few
     MB), and the only shuffle is the final ``repartitionByRange`` that lays
     out segments in pos order for the file-stream replay.
+
+    ``noop_frac``: fraction of urls whose body is FIXED per url — every
+    update to such a url carries identical content (the CDC reality of
+    metadata-only row updates), exercising the engine's content-hash
+    re-chunk/re-embed skip. The other urls change body per event.
     """
     from pyspark.sql import functions as F
 
@@ -366,7 +372,16 @@ def generate_bench(
             + F.make_interval(secs=F.col("id") + 1)
             - F.make_interval(secs=F.pmod("h2", F.lit(30))),
         )
-        .withColumn("body_id", F.pmod("h1", F.lit(pool_size)).cast("int"))
+        .withColumn(
+            "body_id",
+            F.when(
+                F.pmod(F.xxhash64(F.col("url_id"), F.lit(seed + 2)), F.lit(1000))
+                < int(noop_frac * 1000),
+                F.pmod(F.xxhash64(F.col("url_id"), F.lit(seed + 3)), F.lit(pool_size)),
+            )
+            .otherwise(F.pmod("h1", F.lit(pool_size)))
+            .cast("int"),
+        )
     )
 
     url = F.concat(

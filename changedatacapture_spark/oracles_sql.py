@@ -116,18 +116,39 @@ _SHINGLES = f"""
     )
 """
 
-_BANDS = f"""
+def _bands_sql(bands: int = 4, rows_per_band: int = 4) -> str:
+    """Mirror of functions.dedup minhash/LSH: ONE md5 per shingle → 32-bit
+    int (hex prefix) → arithmetic permutations (a_i·h+b_i mod 2^61-1) shared
+    verbatim via minhash_perm_consts — BIGINT-safe in both engines."""
+    from .functions.dedup import MINHASH_P, minhash_perm_consts
+
+    n = bands * rows_per_band
+    a, b = minhash_perm_consts(n)
+    mins = ",\n          ".join(
+        f"min(({a[i]} * h + {b[i]}) % {MINHASH_P}) AS m{i}" for i in range(n)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bd} AS band, md5(concat_ws('|', {cols})) AS bkey FROM sig".format(
+            bd=bd,
+            cols=", ".join(
+                f"CAST(m{bd * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for bd in range(bands)
+    )
+    return f"""
     {_SHINGLES},
-    hashes AS (
-      SELECT doc_id, i AS hi, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM sh, (SELECT unnest(range(0, 16)) AS i)
-      GROUP BY doc_id, i
+    hv AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+          {mins}
+      FROM hv GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, CAST(hi // 4 AS INT) AS band,
-             md5(string_agg(CAST(hi AS VARCHAR) || ':' || minhash, '|'
-                            ORDER BY CAST(hi AS VARCHAR) || ':' || minhash)) AS bkey
-      FROM hashes GROUP BY doc_id, hi // 4
+      {band_selects}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -135,6 +156,9 @@ _BANDS = f"""
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
 """
+
+
+_BANDS = _bands_sql()
 
 _SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN substr(h, {p + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
