@@ -90,6 +90,89 @@ def _projection_matrix(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-random-projection bucket id as a JVM column expression (zip_with/
+    aggregate folds — whole-stage codegen, no UDF)."""
+    n_planes = planes.shape[0]
+    b = F.lit(0)
+    for p in range(n_planes):
+        row = planes[p]
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda a, bb: a * bb,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def probe_buckets(query: list[float], planes: np.ndarray, n_probes: int) -> list[int]:
+    """Margin-ordered multi-probe bucket list (classic multi-probe LSH): the
+    query's own bucket first, then neighbor buckets obtained by flipping the
+    sign bits closest to their hyperplane (smallest Σ|projection| over the
+    flipped set). Driver-side over 2^n_planes candidates — trivial for the
+    8-16 planes this index uses."""
+    n_planes = planes.shape[0]
+    projs = [_seq_dot(planes[p], query) for p in range(n_planes)]
+    base = sum((1 << p) for p in range(n_planes) if projs[p] > 0)
+    scored = []
+    for mask in range(1 << n_planes):
+        cost = sum(abs(projs[p]) for p in range(n_planes) if mask & (1 << p))
+        scored.append((cost, base ^ mask))
+    scored.sort()
+    return [b for _, b in scored[:n_probes]]
+
+
+def write_bucketed(
+    emb: DataFrame,
+    path: str,
+    *,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the corpus **partitioned by LSH bucket** — the 100 TB
+    layout the reference's vector index implies (main.py:1155-1160,
+    ingest_data.py:28-51): a query then reads only its probe buckets via
+    parquet partition pruning (PartitionFilters in the scan — pinned by
+    tests/test_similarity.py and PLANS.md), ~n_probes/2^n_planes of the
+    corpus instead of a full scan. Returns the number of planes used
+    (the reader must pass the same ``n_planes``)."""
+    dim = _dim_of(emb, vec_col)
+    planes = _projection_matrix(dim, n_planes)
+    (
+        emb.withColumn("bucket", bucket_expr(vec_col, planes))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return n_planes
+
+
+def bucketed_ann(
+    spark,
+    path: str,
+    query: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a :func:`write_bucketed` corpus: multi-probe bucket list →
+    partition-pruned scan → exact cosine rank inside the candidates. The scan
+    touches only the probed partitions' files; everything else is never read."""
+    planes = _projection_matrix(len(query), n_planes)
+    probes = probe_buckets(query, planes, n_probes)
+    candidates = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     query: list[float],
@@ -108,27 +191,12 @@ def lsh_bucket_ann(
     read time (the 100 TB path).
     """
     planes = _projection_matrix(_dim_of(emb, vec_col), n_planes)
-
-    def bucket_expr(vc: str) -> F.Column:
-        b = F.lit(0)
-        for p in range(n_planes):
-            row = planes[p]
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vc).cast("array<double>"),
-                    F.array(*[F.lit(float(x)) for x in row]),
-                    lambda a, bb: a * bb,
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return b
-
     qbucket = int(
         sum((1 << p) for p in range(n_planes) if _seq_dot(planes[p], query) > 0)
     )
-    candidates = emb.withColumn("bucket", bucket_expr(vec_col)).where(F.col("bucket") == qbucket)
+    candidates = emb.withColumn("bucket", bucket_expr(vec_col, planes)).where(
+        F.col("bucket") == qbucket
+    )
     return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
