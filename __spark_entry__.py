@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Keys absent here (ann_lsh_topk, embed_documents) are
-    non-SQL-expressible (Philox RNG / LSH probe internals) → rows-only check;
-    their semantics are pinned by tests/test_similarity.py."""
+    """DuckDB twins — every queries() entry has one except embed_documents
+    (the Philox embedding stub is not SQL-expressible → rows-only check; its
+    semantics are pinned by tests/test_transform_parity.py)."""
     return dict(ORACLE_SQL)

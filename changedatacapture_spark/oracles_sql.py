@@ -44,6 +44,16 @@ _SECTIONED = (
     "'## ' || substr(text, 125, 16) || chr(10) || substr(text, 141, 10000)"
 )
 
+
+def _linediff_new_sql() -> str:
+    """The line-diff 'new text' template shared verbatim with queries.py."""
+    from .queries import _LINEDIFF_NEW
+
+    return _LINEDIFF_NEW.format(t="text", vc="VARCHAR")
+
+
+_LINEDIFF_NEW = _linediff_new_sql()
+
 _HEAD_RE = r"^(#+|[0-9]+\.)\s+(.+?)$"
 
 # independent SQL reimplementation of the reference chunker
@@ -290,6 +300,37 @@ ORACLE_SQL: dict[str, str] = {
         HAVING count(*) * 100 > (SELECT count(*) FROM env)
     """,
     "doc_chunks": _CHUNKS,
+    "doc_line_diff": f"""
+        WITH pair AS (
+          SELECT doc_id, {_SECTIONED} AS old_text,
+                 {_LINEDIFF_NEW} AS new_text
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id,
+                 unnest(string_split(old_text, chr(10))) AS old_line,
+                 CAST(unnest(range(0, len(string_split(old_text, chr(10))))) AS INT) AS line
+          FROM pair
+        ),
+        n AS (
+          SELECT doc_id,
+                 unnest(string_split(new_text, chr(10))) AS new_line,
+                 CAST(unnest(range(0, len(string_split(new_text, chr(10))))) AS INT) AS line
+          FROM pair
+        ),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 coalesce(o.line, n.line) AS line, old_line, new_line
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id AND o.line = n.line
+        )
+        SELECT doc_id,
+               CASE WHEN old_line IS NULL THEN 'added'
+                    WHEN new_line IS NULL THEN 'deleted'
+                    WHEN old_line <> new_line THEN 'modified' END AS change_type,
+               line, old_line, new_line
+        FROM j
+        WHERE old_line IS NULL OR new_line IS NULL OR old_line <> new_line
+    """,
     "doc_chunk_stats": f"""
         WITH ch AS ({_CHUNKS})
         SELECT count(DISTINCT doc_id) AS total_documents,

@@ -250,6 +250,34 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# line-diff pair: a deterministic edit of the sectioned text — line 2 gets a
+# marker prefix (modified), every 5th doc drops the tail line (deleted),
+# every 3rd doc gains a line (added); SQL-expressible in both engines
+_LINEDIFF_NEW = (
+    "'1. ' || substr({t}, 1, 24) || chr(10) || 'EDITED ' || substr({t}, 25, 100) || chr(10) || "
+    "'## ' || substr({t}, 125, 16) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '' ELSE chr(10) || substr({t}, 141, 10000) END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'added-' || CAST(doc_id AS {vc}) ELSE '' END)"
+)
+
+
+def doc_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: positional line diff (rag/incremental_rag_system.py:167-206) over
+    a deterministic old/new text pair — modified/added/deleted rows with the
+    reference's zip-by-position semantics."""
+    from .operators import diff as diff_ops
+
+    docs = load(spark, sf_dir, "documents")
+    pair = docs.select(
+        "doc_id",
+        F.expr(_SECTIONED.format(t="text")).alias("old_text"),
+        F.expr(_LINEDIFF_NEW.format(t="text", vc="STRING")).alias("new_text"),
+    )
+    return diff_ops.line_diff(pair).select(
+        "doc_id", "change_type", F.col("line").cast("int").alias("line"), "old_line", "new_line"
+    )
+
+
 def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: chunk summary aggregate (main.py:822-827): totals + avg size in
     micro-units."""
@@ -460,6 +488,7 @@ QUERIES = {
     "cdc_site_activity": cdc_site_activity,
     "doc_chunks": doc_chunks,
     "doc_chunk_stats": doc_chunk_stats,
+    "doc_line_diff": doc_line_diff,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,

@@ -3,11 +3,17 @@ micro-batches via ``applyInPandasWithState``.
 
 The reference keeps this state in SQLite side tables
 (``file_versions(file_path, file_hash, last_modified, last_processed)`` and
-per-chunk version rows, incremental_rag_system.py:34-72). Here it is proper
-Spark-managed keyed state: checkpointed, partitioned by url, recovered on
-restart. Note the engine's *table* state deliberately does NOT use this (the
-LWW MERGE against the target is stateless and cheaper, SURVEY.md §2.9); this
-operator serves the monitoring/versioning surface.
+per-chunk version rows, rag/incremental_rag_system.py:34-72). Here it is
+proper Spark-managed keyed state: checkpointed, partitioned by url, recovered
+on restart. Note the engine's *table* state deliberately does NOT use this
+(the LWW MERGE against the target is stateless and cheaper, SURVEY.md §2.9);
+this operator serves the monitoring/versioning surface.
+
+State TTL: with ``ttl_ms`` set, a url whose last event is older than
+``watermark - ttl`` is evicted (event-time timeout) — at 10^10 urls the
+tracker's state stays bounded by the active-url working set instead of
+growing for the stream's lifetime (VERDICT r1 #5). Eviction is tied to the
+watermark, so it can never race a late event that is still admissible.
 """
 
 from __future__ import annotations
@@ -21,48 +27,77 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "url string, n_changes long, n_deletes long, last_op string, last_warc_us long"
 )
-STATE_SCHEMA = "n_changes long, n_deletes long, last_op string, last_warc_us long"
+STATE_SCHEMA = (
+    "n_changes long, n_deletes long, last_op string, last_warc_us long, last_pos long"
+)
 
 
-def _track(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (url,) = key
-    if state.exists:
-        n_changes, n_deletes, last_op, last_us = state.get
-    else:
-        n_changes, n_deletes, last_op, last_us = 0, 0, None, None
-    for pdf in pdfs:
-        n_changes += len(pdf)
-        n_deletes += int((pdf["op"] == "d").sum())
-        us = (pdf["warc_ts"].astype("int64") // 1000).max()  # ns → µs
-        order = pdf.sort_values(["warc_ts", "pos"]).iloc[-1]
-        last_op = str(order["op"])
-        last_us = int(us) if last_us is None else max(last_us, int(us))
-    state.update((n_changes, n_deletes, last_op, last_us))
-    yield pd.DataFrame(
-        [
-            {
-                "url": url,
-                "n_changes": n_changes,
-                "n_deletes": n_deletes,
-                "last_op": last_op,
-                "last_warc_us": last_us,
-            }
-        ]
-    )
-
-
-def url_version_tracker(parsed: DataFrame) -> DataFrame:
-    """parsed change stream → running per-url version stats (update mode)."""
-    return (
-        parsed.select("url", "op", "warc_ts", "pos")
-        .groupBy("url")
-        .applyInPandasWithState(
-            _track,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+def _make_track(ttl_ms: int | None):
+    def _track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (url,) = key
+        if state.hasTimedOut:
+            # idle past the TTL horizon: drop the key's state, emit nothing
+            state.remove()
+            return
+        if state.exists:
+            n_changes, n_deletes, last_op, last_us, last_pos = state.get
+        else:
+            n_changes, n_deletes, last_op, last_us, last_pos = 0, 0, None, None, None
+        for pdf in pdfs:
+            n_changes += len(pdf)
+            n_deletes += int((pdf["op"] == "d").sum())
+            us = pdf["warc_ts"].astype("int64") // 1000  # ns → µs
+            top = pdf.assign(_us=us).sort_values(["_us", "pos"]).iloc[-1]
+            top_key = (int(top["_us"]), int(top["pos"]))
+            # a batch of only LATE (older) events must not move last_op away
+            # from the event last_warc_us describes (ADVICE r1)
+            if last_us is None or top_key > (last_us, -1 if last_pos is None else last_pos):
+                last_op, last_us, last_pos = str(top["op"]), top_key[0], top_key[1]
+        state.update((n_changes, n_deletes, last_op, last_us, last_pos))
+        if ttl_ms is not None:
+            # evict when the watermark passes last-event-time + ttl; clamp
+            # above the current watermark (a late batch could otherwise set a
+            # timeout already in the past, which Spark rejects)
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            [
+                {
+                    "url": url,
+                    "n_changes": n_changes,
+                    "n_deletes": n_deletes,
+                    "last_op": last_op,
+                    "last_warc_us": last_us,
+                }
+            ]
         )
+
+    return _track
+
+
+def url_version_tracker(
+    parsed: DataFrame,
+    *,
+    ttl_ms: int | None = None,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """parsed change stream → running per-url version stats (update mode).
+
+    ``ttl_ms``: event-time state TTL — requires (and applies) a watermark on
+    ``warc_ts``; None keeps state forever (bounded-keyspace monitoring).
+    """
+    df = parsed.select("url", "op", "warc_ts", "pos")
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_ms is not None:
+        df = df.withWatermark("warc_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return df.groupBy("url").applyInPandasWithState(
+        _make_track(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
     )

@@ -119,3 +119,108 @@ def test_lake_compaction(spark, tmp_path):
     # one file per non-empty bucket after compaction
     files_per_bucket = [len(v) for v in t.current_snapshot()["buckets"].values()]
     assert all(n <= 1 for n in files_per_bucket)
+
+
+def test_kafka_record_projection_parses_debezium_wire(spark, tmp_path, testdata_dir):
+    """The Kafka source's projection (no broker in the sandbox): Debezium-
+    shaped JSON values with base64 html round-trip byte-identically, null
+    Kafka values (compaction tombstones) and corrupt JSON drop at the
+    tombstone/corrupt filter, and the record key rides along as _kafka_key."""
+    import base64
+    import datetime as dt
+    import json
+
+    from changedatacapture_spark import gen, oracle
+    from changedatacapture_spark.operators import apply as apply_ops
+    from changedatacapture_spark.operators.envelope import (
+        parse_envelope,
+        project_kafka_records,
+    )
+
+    events = gen.generate_small(
+        str(tmp_path / "pq"), n_urls=12, n_events=80, seed=53, testdata_dir=testdata_dir
+    )
+
+    def wire(e):
+        def conv(p):
+            if p is None:
+                return None
+            q = dict(p)
+            if isinstance(q.get("warc_ts"), dt.datetime):
+                q["warc_ts"] = q["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+            if q.get("html") is not None:
+                q["html"] = base64.b64encode(q["html"]).decode("ascii")
+            return q
+
+        return json.dumps(
+            {"op": e["op"], "before": conv(e.get("before")), "after": conv(e.get("after")),
+             "source": e["source"], "ts_ms": e["ts_ms"]}, ensure_ascii=False
+        ).encode("utf-8")
+
+    records = []
+    for i, e in enumerate(events):
+        key = ((e.get("after") or e.get("before"))["url"]).encode()
+        records.append((key, wire(e), "db.testdb.pages", 0, i))
+        if i % 10 == 0:  # Kafka compaction tombstone: null value
+            records.append((key, None, "db.testdb.pages", 0, 100000 + i))
+        if i % 17 == 0:  # transport corruption
+            records.append((key, b"{not json", "db.testdb.pages", 0, 200000 + i))
+    raw = spark.createDataFrame(
+        records, "key binary, value binary, topic string, partition int, offset long"
+    )
+
+    projected = project_kafka_records(raw)
+    assert "_kafka_key" in projected.columns
+    parsed = parse_envelope(projected)
+    # tombstones + corrupt records dropped; every real event survives
+    assert parsed.count() == len(events)
+
+    got = {r["url"]: r.asDict() for r in apply_ops.fold_final_state(parsed).collect()}
+    exp = oracle.fold_events(events)
+    assert set(got) == set(exp)
+    for url, p in exp.items():
+        assert got[url]["text"] == p["text"]
+        assert bytes(got[url]["html"]) == p["html"]  # base64 round-trip exact
+
+
+def test_line_diff_matches_reference_semantics(spark):
+    """operators.diff.line_diff ≡ the reference's detect_text_changes
+    (rag/incremental_rag_system.py:167-206), pinned against a verbatim port
+    of its zip/append/delete classification."""
+    from changedatacapture_spark.operators.diff import line_diff
+
+    def reference_detect(old_text, new_text):  # verbatim port (public repo)
+        changes = []
+        old_lines = old_text.split("\n")
+        new_lines = new_text.split("\n")
+        for i, (o, n) in enumerate(zip(old_lines, new_lines)):
+            if o != n:
+                changes.append(("modified", i, o, n))
+        if len(new_lines) > len(old_lines):
+            for i in range(len(old_lines), len(new_lines)):
+                changes.append(("added", i, None, new_lines[i]))
+        if len(old_lines) > len(new_lines):
+            for i in range(len(new_lines), len(old_lines)):
+                changes.append(("deleted", i, old_lines[i], None))
+        return sorted(changes, key=lambda c: c[1])
+
+    cases = [
+        ("a\nb\nc", "a\nB\nc"),                  # modified middle
+        ("a\nb", "a\nb\nc\nd"),                  # added tail
+        ("a\nb\nc\nd", "a\nb"),                  # deleted tail
+        ("a\nb\nc", "x\nb\nz\nw"),               # modified + added
+        ("same\nsame", "same\nsame"),            # no changes
+        ("", "x"),                                # '' is one empty line
+    ]
+    df = spark.createDataFrame(
+        [(i, o, n) for i, (o, n) in enumerate(cases)],
+        "doc_id int, old_text string, new_text string",
+    )
+    got = {}
+    for r in line_diff(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["change_type"], r["line"], r["old_line"], r["new_line"])
+        )
+    for i, (o, n) in enumerate(cases):
+        exp = reference_detect(o, n)
+        assert sorted(got.get(i, []), key=lambda c: c[1]) == exp, f"case {i}"

@@ -72,3 +72,40 @@ def test_tombstones_filtered(spark, tmp_path, testdata_dir):
     parsed = envelope.parse_envelope(raw)
     assert raw.where("op is null").count() > 0
     assert parsed.where("op is null").count() == 0
+
+
+def test_stream_event_beats_snapshot_regardless_of_event_time(spark):
+    """Pins the LWW contract edge documented at operators.lww.order_key_cols:
+    a stream event ('d' here) ALWAYS outranks a snapshot read ('r') of the
+    same key, even when the 'r' carries a LATER warc_ts — the engine assumes
+    the Debezium snapshot-first contract, and deviates deliberately from a
+    global (warc_ts, pos) sort for feeds that violate it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.lww import lww_winners
+
+    ts = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("u1", "d", ts, 5, None),                          # early delete
+            ("u1", "r", ts + dt.timedelta(hours=1), 1, "snap"),  # later snapshot read
+        ],
+        "url string, op string, warc_ts timestamp, pos long, text string",
+    )
+    w = lww_winners(df).collect()
+    assert len(w) == 1 and w[0]["op"] == "d", (
+        "the stream tombstone must win over the later-timestamped snapshot row"
+    )
+
+    # and among snapshots alone, the FIRST wins (insert-if-absent)
+    df2 = spark.createDataFrame(
+        [
+            ("u2", "r", ts, 1, "first"),
+            ("u2", "r", ts + dt.timedelta(seconds=9), 2, "second"),
+        ],
+        "url string, op string, warc_ts timestamp, pos long, text string",
+    )
+    w2 = lww_winners(df2).collect()
+    assert w2[0]["text"] == "first"

@@ -3,8 +3,6 @@ extraction (decode itself stubbed — no media libs in this container)."""
 
 import hashlib
 
-import pytest
-
 from changedatacapture_spark.functions import multimodal
 
 
@@ -38,12 +36,46 @@ def test_decode_image_meta_plumbing(spark):
     ]
 
 
-def test_resize_and_frames_are_gated(spark):
+def test_resize_images_deterministic_fake(spark):
+    """No Pillow in this container → the clearly-marked deterministic fake:
+    output payloads are size-faithful (header + w·h·3 bytes), stable across
+    runs, and keyed to the input bytes."""
     df = spark.createDataFrame(_media_rows(), multimodal.MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(df, 64, 64)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(df, 1.0)
+    out = {r["media_id"]: r.asDict() for r in multimodal.resize_images(df, 8, 6).collect()}
+    assert set(out) == {"m1", "m2", "m3", "m4"}
+    assert out["m4"]["bytes"] is None  # null blob passes through
+    b1 = bytes(out["m1"]["bytes"])
+    assert b1.startswith(multimodal._FAKE_MAGIC)
+    assert len(b1) == len(multimodal._FAKE_MAGIC) + 8 + 8 * 6 * 3
+    assert (out["m1"]["width"], out["m1"]["height"]) == (8, 6)
+    assert out["m1"]["format"] == "fake-rgb"
+    # deterministic: same input → same payload; different input → different
+    again = {r["media_id"]: bytes(r["bytes"]) for r in
+             multimodal.resize_images(df, 8, 6).collect() if r["bytes"] is not None}
+    assert again["m1"] == b1
+    assert again["m2"] != b1
+
+
+def test_sample_video_frames_explode_cardinality(spark):
+    """1 blob row → N frame rows at the sampling interval; duration from the
+    meta map when present, size-derived otherwise; ordering deterministic."""
+    rows = [
+        ("v1", "video", bytearray(b"x" * 100), "video/mp4", {"duration_s": "2.5"}),
+        ("v2", "video", bytearray(b"y" * 50_000), "video/mp4", {}),  # 5.0 s fake
+        ("v3", "video", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_video_frames(df, 1.0).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert "v3" not in by_id  # null blob emits nothing
+    v1 = sorted(by_id["v1"], key=lambda r: r["frame_index"])
+    assert [r["ts_ms"] for r in v1] == [0, 1000, 2000]  # 0..2.5s step 1s
+    assert len(by_id["v2"]) == 6  # 0..5.0s inclusive
+    assert all(bytes(r["frame_bytes"]).startswith(multimodal._FAKE_MAGIC) for r in v1)
+    # frame payloads keyed to (blob, ts): distinct across frames and videos
+    assert len({bytes(r["frame_bytes"]) for r in out}) == len(out)
 
 
 def test_metadata_query_prunes_blob_column(spark, tmp_path):

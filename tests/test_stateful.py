@@ -55,6 +55,86 @@ def test_version_tracker_counts_match_log(spark, tmp_path, testdata_dir):
     }
 
 
+def _write_env_segments(tmp_path, segs):
+    """segs: list of lists of (op, url, ts, pos) → one parquet file each."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from changedatacapture_spark.gen import _arrow_envelope_schema
+
+    seg_dir = str(tmp_path / "log")
+    os.makedirs(seg_dir, exist_ok=True)
+    schema = _arrow_envelope_schema()
+    for i, rows in enumerate(segs):
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "op": op,
+                    "before": None,
+                    "after": {"url": u, "warc_ts": ts, "html": None, "text": "t",
+                              "lang": "en", "extra": None},
+                    "source": {"db": "d", "table": "t", "file": "f", "pos": pos},
+                    "ts_ms": 0,
+                }
+                for op, u, ts, pos in rows
+            ],
+            schema=schema,
+        )
+        pq.write_table(table, f"{seg_dir}/segment-{i:05d}.parquet")
+    return seg_dir
+
+
+def test_version_tracker_ttl_evicts_idle_state(spark, tmp_path):
+    """Event-time TTL: a url idle past watermark+ttl is evicted — its next
+    event restarts the count from zero instead of continuing (bounded state
+    at 10^10 urls). Also pins the late-batch last_op rule: a batch of only
+    OLDER events must not move last_op."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    seg = _write_env_segments(
+        tmp_path,
+        [
+            # batch 1: two 'a' events (count 2) + a 'b'
+            [("c", "a", T0, 1), ("u", "a", T0 + dt.timedelta(seconds=1), 2),
+             ("c", "b", T0, 3)],
+            # batch 2: 'b' far in the future → watermark advances ~2h
+            [("u", "b", T0 + dt.timedelta(hours=2), 4)],
+            # batch 3: 'b' again (advances watermark; 'a' has NO data, its
+            # timeout [last_event+30min < watermark] fires → state evicted);
+            # plus a LATE OLDER 'd' for b — must not become last_op
+            [("u", "b", T0 + dt.timedelta(hours=2, minutes=5), 5),
+             ("d", "b", T0 + dt.timedelta(minutes=30), 6)],
+            # batch 4: 'a' reappears → fresh state, count restarts at 1
+            [("u", "a", T0 + dt.timedelta(hours=3), 7)],
+        ],
+    )
+    src = envelope.parse_envelope(envelope.read_segments_stream(spark, seg, max_files=1))
+    rows: list[dict] = []
+
+    def sink(batch_df, epoch_id):
+        rows.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        url_version_tracker(src, ttl_ms=30 * 60 * 1000, watermark="1 minute")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    a_counts = [r["n_changes"] for r in rows if r["url"] == "a"]
+    assert a_counts[0] == 2, "first batch should count both 'a' events"
+    assert a_counts[-1] == 1, "idle state must be evicted; count restarts at 1"
+    b_last = [r for r in rows if r["url"] == "b"][-1]
+    assert b_last["n_changes"] == 4  # all b events counted (incl. the late one)
+    assert b_last["last_op"] == "u", "late older 'd' must not overwrite last_op"
+
+
 def test_version_tracker_state_survives_restart(spark, tmp_path, testdata_dir):
     import os
 
