@@ -76,7 +76,15 @@ def main():
     n_events = results[lo].get("replay_events") or args.events
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve the hand-written addendum (host calibration, 100 TB
+    # extrapolation) below the marker across regenerations
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    addendum = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if "<!-- ADDENDUM -->" in prev:
+            addendum = "<!-- ADDENDUM -->" + prev.split("<!-- ADDENDUM -->", 1)[1]
+    with open(out_path, "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule)
 
 Protocol (BASELINE.md sandbox evidence): the same end-to-end CDC replay job
@@ -103,7 +111,9 @@ Reference single-node baseline (BASELINE.md): ~0.3–3 events/sec/process on
 the re-chunk/incremental paths; this engine applies
 {rate_4n:.0f} events/sec steady-state at local[{hi}] —
 {rate_4n / 3:.0f}×+ the reference's best serial rate.
+
 """)
+        f.write(addendum)
     print(json.dumps({"levels": [lo, hi], "rate_n": rate_n, "rate_4n": rate_4n, "efficiency": round(eff, 3)}))
 
 
