@@ -72,3 +72,68 @@ def test_envelope_tombstone_filter_pushes_down(spark):
         assert "PushedFilters" in plan
         pushed = plan.split("PushedFilters:")[1].splitlines()[0]
         assert "IsNotNull" in pushed, plan
+
+
+def test_merge_on_read_write_plan_reads_no_existing_data(spark, tmp_path):
+    """merge_lww is O(batch): the append's write plan must scan ONLY the
+    batch — no FileScan of the table's existing files (the r1 copy-on-write
+    union re-read every touched bucket per epoch)."""
+    import datetime as dt
+
+    from changedatacapture_spark.sinks.lake import LakeTable, _align_to, _bucket_col
+
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=4)
+    schema = "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+    ts = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame([("u1", ts, 1, "c", 0, "v1")], schema)
+    t.merge_lww(spark, b0, epoch_id=0)
+
+    # build exactly what the second merge writes and inspect its plan
+    b1 = spark.createDataFrame([("u2", ts, 2, "c", 0, "v2")], schema)
+    t._current_write_schema = t._merged_schema(b1)
+    to_write = _align_to(b1, t._current_write_schema).withColumn(
+        "_bucket", _bucket_col("url", 4)
+    )
+    plan = _plan(to_write)
+    assert "FileScan" not in plan, plan  # append sources only the in-memory batch
+
+    t.merge_lww(spark, b1, epoch_id=1)
+    # and the read side resolves LWW with a partial (map-side) aggregate
+    read_plan = _plan(t.read_raw(spark))
+    assert "partial_max_by" in read_plan, read_plan
+
+
+def test_set_table_read_skips_resolution_after_compaction(spark, tmp_path):
+    """After compact() the snapshot is marked resolved — reads skip the
+    window/aggregate entirely (no Window node, no max_by) so point lookups on
+    a compacted table stay scan-cheap."""
+    import datetime as dt
+
+    from changedatacapture_spark.sinks.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "c"), key="url", n_buckets=2, mode="set")
+    schema = (
+        "url string, op string, warc_ts timestamp, pos long, is_deleted int,"
+        " chunk_index int, content string"
+    )
+    ts = dt.datetime(2024, 1, 1)
+    t.merge_sets(
+        spark,
+        spark.createDataFrame([("u1", "c", ts, 1, 0, 0, "a")], schema),
+        epoch_id=0,
+    )
+    t.merge_sets(
+        spark,
+        spark.createDataFrame(
+            [("u1", "u", ts + dt.timedelta(seconds=5), 2, 0, 0, "b")], schema
+        ),
+        epoch_id=1,
+    )
+    # unresolved: the read must resolve via the window max
+    assert "Window" in _plan(t.read_raw(spark))
+    assert [r["content"] for r in t.read(spark).collect()] == ["b"]
+
+    t.compact(spark)
+    plan = _plan(t.read_raw(spark))
+    assert "Window" not in plan and "max_by" not in plan, plan
+    assert [r["content"] for r in t.read(spark).collect()] == ["b"]
