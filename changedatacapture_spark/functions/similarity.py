@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -203,3 +204,109 @@ def lsh_bucket_ann(
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
     row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"]) if row else 0
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the second scale path, complementary to LSH:
+# data-adaptive cells (k-means centroids) instead of data-oblivious
+# hyperplanes, so clustered corpora get much tighter candidate sets.
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 64,
+    *,
+    vec_col: str = "embedding",
+    sample_rows: int = 50_000,
+    iters: int = 8,
+    seed: str = "ivf",
+) -> np.ndarray:
+    """Deterministic mini k-means on a bounded sample → (n_cells, dim)
+    centroids. The sample is a seeded ``df.sample`` capped at ``sample_rows``
+    (k-means-on-sample is the standard IVF recipe — training cost is
+    independent of corpus size; only the assignment pass scans everything).
+    Philox-seeded init + fixed Lloyd iterations: same data → same centroids.
+    """
+    total = emb.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    sample = emb.select(vec_col)
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=42)
+    x = np.array(sample.limit(sample_rows).toPandas()[vec_col].tolist(), dtype=np.float64)
+    k = min(n_cells, len(x))
+    rng = np.random.Generator(
+        np.random.Philox(
+            key=np.frombuffer(hashlib.md5(f"{seed}:{k}:{x.shape[1]}".encode()).digest(), dtype=np.uint64)
+        )
+    )
+    centroids = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _assign_cells_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (one numpy matmul per batch
+    — the per-row expression tree would blow up codegen at 256 cells × 384
+    dims, so this is the legitimate pandas-UDF case)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.astype(np.float64)
+    cn = (cent**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = cn[None, :] - 2.0 * (x @ cent.T)  # ||x||² constant per row
+        return pd.Series(d2.argmin(axis=1).astype("int32"), index=vecs.index)
+
+    return assign
+
+
+def write_ivf(
+    emb: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by its IVF cell; queries then
+    partition-prune to their closest ``n_probes`` cells (same scan shape as
+    :func:`write_bucketed`, different bucketing function)."""
+    assign = _assign_cells_udf(centroids)
+    (
+        emb.withColumn("cell", assign(F.col(vec_col)))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_ann(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a :func:`write_ivf` corpus: rank cells by distance to the
+    query (driver-side, n_cells rows), partition-pruned scan of the closest
+    ``n_probes`` cells, exact cosine rank inside the candidates."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2)[:n_probes]]
+    candidates = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col)
