@@ -1,0 +1,104 @@
+"""As-of (point-in-time) join and binned range join — operators Spark lacks
+natively, built as compositions of existing DataFrame ops (task brief:
+"as-of join, range join" as custom operators; no reference twin — the
+reference has no temporal joins).
+
+Both avoid the naive inequality join (BroadcastNestedLoop, O(n·m)):
+
+- :func:`asof_join` — union-the-sides + per-key ordered window +
+  ``last(..., ignorenulls)``: ONE shuffle keyed by the join key, the same
+  cost class as a sort-merge join. This is the standard distributed as-of
+  shape (a time-ordered merge per key).
+- :func:`binned_range_join` — intervals exploded to fixed-width bins, points
+  mapped to their bin, equi-join on (bin) then exact predicate: the shuffle
+  is an equi-join again, with fan-out = interval_width / bin_width. Pick the
+  bin near the median interval width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: each left row picks the right row with
+    the greatest ``right_time`` ≤ its ``left_time`` (per ``on`` key) — the
+    DuckDB/`ASOF JOIN` / pandas ``merge_asof`` semantics.
+
+    ``right`` must have at most one row per (on, right_time); pre-reduce with
+    ``max_by`` otherwise (ties are ambiguous in every engine).
+    Implementation: union both sides with a side marker, per-key window
+    ordered by (time, side) — right rows sort before left probes at the same
+    timestamp, making the join inclusive — then ``last(value, ignorenulls)``
+    carries the most recent right payload forward onto the probes.
+    """
+    marker = "_is_probe"
+    t = "_t"
+    lt = (
+        left.withColumn(t, F.col(left_time))
+        .drop(left_time)
+        .withColumn(marker, F.lit(1))
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_time).alias(t),
+        F.lit(0).alias(marker),
+        *[F.col(c).alias(f"_asof_{c}") for c in value_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    order = [F.col(t), F.col(marker)] + ([F.col(tie_col)] if tie_col else [])
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"_asof_{c}", F.last(f"_asof_{c}", ignorenulls=True).over(w))
+    out = u.where(F.col(marker) == 1).drop(marker)
+    renames = {f"_asof_{c}": f"asof_{c}" for c in value_cols}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.withColumnRenamed(t, left_time)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_time: str,
+    lo: str,
+    hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner join of points onto [lo, hi] intervals (inclusive both ends)
+    without an inequality join: intervals explode to the fixed-width bins
+    they overlap, points map to their single bin, the join is an EQUI-join on
+    the bin, and the exact range predicate filters inside. No duplicates by
+    construction (a point's bin intersects each interval at most once).
+
+    All three time columns must share one integer unit (e.g. epoch micros).
+    """
+    b = F.lit(bin_width)
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence((F.col(lo) / b).cast("long"), (F.col(hi) / b).cast("long"))
+        ),
+    )
+    pt = points.withColumn("_bin", (F.col(point_time) / b).cast("long"))
+    return (
+        pt.join(iv, "_bin")
+        .where(F.col(point_time).between(F.col(lo), F.col(hi)))
+        .drop("_bin")
+    )

@@ -294,6 +294,53 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events
         FROM env GROUP BY 1
     """,
+    "cdc_asof_probe": f"""
+        WITH env AS ({_ENV}),
+        dels AS (SELECT url, warc_us, pos FROM env WHERE op = 'd'),
+        ups AS (
+          SELECT url, warc_us, arg_max(val_cents, pos) AS val_cents
+          FROM env WHERE op <> 'd' GROUP BY url, warc_us
+        )
+        SELECT d.url, d.warc_us, d.pos,
+               u.val_cents AS asof_val_cents, u.warc_us AS asof_warc_us
+        FROM dels d ASOF LEFT JOIN ups u
+          ON d.url = u.url AND d.warc_us >= u.warc_us
+    """,
+    "events_in_windows": f"""
+        WITH env AS ({_ENV}),
+        iv AS (
+          SELECT pos AS interval_id, warc_us AS lo, warc_us + 3600000000 AS hi
+          FROM env WHERE pos % 500 = 0
+        )
+        SELECT i.interval_id, count(*) AS n_events, count(DISTINCT e.url) AS n_urls
+        FROM env e JOIN iv i ON e.warc_us BETWEEN i.lo AND i.hi
+        GROUP BY 1
+    """,
+    "cdc_sessions": f"""
+        WITH env AS ({_ENV}),
+        l AS (
+          SELECT url, warc_us, pos,
+                 lag(warc_us) OVER (PARTITION BY url ORDER BY warc_us, pos) AS prev
+          FROM env
+        ),
+        marked AS (
+          SELECT url, warc_us, pos,
+                 CASE WHEN prev IS NULL OR warc_us - prev > {30 * 60 * 1_000_000}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM l
+        ),
+        sess AS (
+          SELECT url, warc_us,
+                 sum(is_new) OVER (PARTITION BY url ORDER BY warc_us, pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked
+        )
+        SELECT url, CAST(session_id AS BIGINT) AS session_id,
+               min(warc_us) AS session_start_us,
+               max(warc_us) AS session_end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY url, session_id
+    """,
     "cdc_hot_urls": f"""
         WITH env AS ({_ENV})
         SELECT url, count(*) AS n FROM env GROUP BY url

@@ -211,6 +211,84 @@ def cdc_hot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each delete probes the url's most recent
+    upsert value at-or-before its own event time (operators.asof.asof_join —
+    one keyed window shuffle, no inequality join; DuckDB twin uses its
+    native ASOF JOIN)."""
+    from .operators import asof as asof_ops
+
+    env = cdc_envelope(spark, sf_dir)
+    dels = env.where(F.col("op") == "d").select("url", "warc_us", "pos")
+    # ≤1 right row per (url, time): as-of ties are ambiguous otherwise
+    ups = (
+        env.where(F.col("op") != "d")
+        .groupBy("url", "warc_us")
+        .agg(F.max_by(F.col("val_cents"), F.col("pos")).alias("val_cents"))
+    )
+    j = asof_ops.asof_join(
+        dels,
+        ups,
+        on="url",
+        left_time="warc_us",
+        right_time="warc_us",
+        value_cols=["val_cents", "warc_us"],
+    )
+    return j.select(
+        "url", "warc_us", "pos", "asof_val_cents", "asof_warc_us"
+    )
+
+
+def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events counted into 1-hour intervals anchored at every
+    500th event (operators.asof.binned_range_join — intervals explode to
+    10-minute bins, points equi-join on their bin, exact predicate inside;
+    no BroadcastNestedLoop)."""
+    from .operators import asof as asof_ops
+
+    env = cdc_envelope(spark, sf_dir)
+    intervals = env.where(F.col("pos") % 500 == 0).select(
+        F.col("pos").alias("interval_id"),
+        F.col("warc_us").alias("lo"),
+        (F.col("warc_us") + 3_600_000_000).alias("hi"),
+    )
+    pts = env.select("url", "warc_us")
+    j = asof_ops.binned_range_join(
+        pts, intervals, point_time="warc_us", lo="lo", hi="hi", bin_width=600_000_000
+    )
+    return j.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"), F.countDistinct("url").alias("n_urls")
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def cdc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: consecutive events per url closer than the gap merge
+    into one session (gaps-and-islands: lag + running sum — chosen over
+    ``session_window`` here because it is exactly mirrorable in ANSI SQL;
+    streaming.windows.url_sessions is the session_window-native form)."""
+    from pyspark.sql.window import Window
+
+    env = cdc_envelope(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("warc_us", "pos")
+    prev = F.lag("warc_us").over(w)
+    is_new = (prev.isNull() | (F.col("warc_us") - prev > SESSION_GAP_US)).cast("int")
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        env.withColumn("session_id", sess)
+        .groupBy("url", "session_id")
+        .agg(
+            F.min("warc_us").alias("session_start_us"),
+            F.max("warc_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # transform: section chunker over a derived sectioned corpus
 # ---------------------------------------------------------------------------
@@ -486,6 +564,9 @@ QUERIES = {
     "cdc_hot_urls": cdc_hot_urls,
     "cdc_events_per_hour": cdc_events_per_hour,
     "cdc_site_activity": cdc_site_activity,
+    "cdc_sessions": cdc_sessions,
+    "cdc_asof_probe": cdc_asof_probe,
+    "events_in_windows": events_in_windows,
     "doc_chunks": doc_chunks,
     "doc_chunk_stats": doc_chunk_stats,
     "doc_line_diff": doc_line_diff,

@@ -91,6 +91,23 @@ class LakeTable:
         with open(p) as f:
             return json.load(f)
 
+    def snapshot(self, snapshot_id: int) -> dict | None:
+        """A historical snapshot by id (every commit publishes an immutable
+        ``snap-NNN.json``) — the Iceberg time-travel metadata twin. Returns
+        None for unknown ids or ids whose data files were vacuumed."""
+        p = os.path.join(self.meta_dir, f"snap-{snapshot_id:012d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot_ids(self) -> list[int]:
+        return sorted(
+            int(f[len("snap-"):-len(".json")])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+
     def committed_epochs(self) -> dict[str, int]:
         snap = self.current_snapshot()
         return dict(snap["epochs"]) if snap else {}
@@ -110,14 +127,20 @@ class LakeTable:
         snap = self.current_snapshot()
         return [tuple(c) for c in snap["schema"]] if snap else []
 
-    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame | None:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema_cols: list[tuple[str, str]] | None = None,
+    ) -> DataFrame | None:
         """Scan data files with the snapshot's EXPLICIT schema: heterogeneous
         delta files (pre-evolution commits) are null-filled for later columns
         by the parquet reader, and no driver-side footer inference runs
         (at 10^5 files schema inference is itself a scale bug)."""
         if not files:
             return None
-        ddl = ", ".join(f"`{n}` {t}" for n, t in self.schema_columns())
+        cols = schema_cols if schema_cols is not None else self.schema_columns()
+        ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
         return spark.read.schema(ddl).parquet(*files)
 
     def _resolve(self, df: DataFrame) -> DataFrame:
@@ -144,22 +167,28 @@ class LakeTable:
             .drop("_mx")
         )
 
-    def read_raw(self, spark: SparkSession) -> DataFrame | None:
-        """Current resolved rows including tombstones (the MERGE target view)."""
-        snap = self.current_snapshot()
+    def read_raw(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """Resolved rows including tombstones (the MERGE target view).
+        ``snapshot_id`` time-travels to a historical snapshot (valid until
+        ``vacuum`` reclaims its superseded files — the Iceberg expire-
+        snapshots contract)."""
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         if snap is None:
             return None
         files = [f for bucket_files in snap["buckets"].values() for f in bucket_files]
-        df = self._read_files(spark, files)
+        df = self._read_files(spark, files, [tuple(c) for c in snap["schema"]])
         if df is None:
             return None
         if not snap.get("resolved", True):
             df = self._resolve(df)
         return df
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Public table view: tombstones filtered out."""
-        df = self.read_raw(spark)
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+        """Public table view: tombstones filtered out; optionally as of a
+        historical ``snapshot_id`` (time travel)."""
+        df = self.read_raw(spark, snapshot_id=snapshot_id)
         if df is None:
             return None
         if "is_deleted" in df.columns:
@@ -404,6 +433,7 @@ class LakeTable:
         spark: SparkSession,
         *,
         drop_tombstones_before=None,
+        min_files: int | None = None,
     ) -> dict | None:
         """Fold merge-on-read delta files into one resolved file per bucket
         and optionally age out LWW tombstones older than
@@ -416,10 +446,48 @@ class LakeTable:
         dropped once no event older than the horizon can still arrive (i.e.
         behind the stream's watermark) — dropping a younger tombstone would
         let a late replay resurrect the key.
+
+        ``min_files``: incremental mode — rewrite only buckets holding ≥ that
+        many files (under key-localized feeds cold buckets stay untouched, so
+        each compaction is O(hot data), not O(table); at 10^5 buckets you run
+        this continuously instead of big-bang). Tombstone aging requires the
+        full pass (a partially-aged table would be inconsistent), so
+        ``drop_tombstones_before`` forces min_files=None.
         """
         snap = self.current_snapshot()
         if snap is None:
             return None
+        if drop_tombstones_before is not None:
+            min_files = None
+        if min_files is not None:
+            touched = [
+                int(b) for b, fs in snap["buckets"].items() if len(fs) >= min_files
+            ]
+            if not touched:
+                return None
+            files = [f for b in touched for f in snap["buckets"][str(b)]]
+            df = self._read_files(spark, files)
+            if not snap.get("resolved", True):
+                df = self._resolve(df)
+            self._current_write_schema = self.schema_columns()
+            out = df.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+            new_snap = self._commit(
+                spark,
+                out,
+                epoch_id=None,
+                append=False,
+                touched_buckets=touched,
+                # untouched buckets may still hold unresolved deltas; the
+                # table is fully resolved only when every bucket is ≤1 file
+                resolved=all(
+                    len(fs) <= 1
+                    for b, fs in snap["buckets"].items()
+                    if int(b) not in set(touched)
+                ),
+                extra_meta={"compaction": True, "partial": True},
+            )
+            self.vacuum()
+            return new_snap
         df = self.read_raw(spark)  # resolved
         if drop_tombstones_before is not None and "is_deleted" in df.columns:
             df = df.where(

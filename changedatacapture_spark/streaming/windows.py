@@ -43,6 +43,36 @@ def change_rate(
     )
 
 
+def url_sessions(
+    parsed: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per url: consecutive events closer than ``gap`` merge
+    into one session (Spark's native ``session_window`` — merging state is
+    Spark-managed and, on streams, bounded by the watermark). Output:
+    (url, session_start, session_end, n_events).
+
+    The batch gate twin (queries.cdc_sessions) computes the same islands with
+    lag+cumsum so the DuckDB oracle is exactly mirrorable; this function is
+    the streaming-native form.
+    """
+    df = parsed
+    if df.isStreaming:
+        df = df.withWatermark("warc_ts", watermark)
+    return (
+        df.groupBy(F.session_window("warc_ts", gap).alias("w"), F.col("url"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "url",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def site_activity(parsed: DataFrame, *, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Per-site (url host prefix) tumbling activity — the hot-site monitoring
     view feeding skew decisions."""

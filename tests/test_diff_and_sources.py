@@ -224,3 +224,59 @@ def test_line_diff_matches_reference_semantics(spark):
     for i, (o, n) in enumerate(cases):
         exp = reference_detect(o, n)
         assert sorted(got.get(i, []), key=lambda c: c[1]) == exp, f"case {i}"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join ≡ pandas merge_asof(direction='backward') per key, including
+    the inclusive same-timestamp match and no-match nulls."""
+    import pandas as pd
+
+    from changedatacapture_spark.operators.asof import asof_join
+
+    right = pd.DataFrame(
+        {"k": ["a", "a", "a", "b"], "t": [10, 20, 30, 15], "v": [1, 2, 3, 9]}
+    )
+    left = pd.DataFrame(
+        {"k": ["a", "a", "a", "a", "b", "b", "c"],
+         "t": [5, 10, 25, 99, 14, 16, 50],
+         "q": [0, 1, 2, 3, 4, 5, 6]}
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k", direction="backward"
+    )
+    exp_map = {int(r.q): (None if pd.isna(r.v) else int(r.v)) for r in exp.itertuples()}
+
+    l_df = spark.createDataFrame(left, "k string, t long, q long")
+    r_df = spark.createDataFrame(right, "k string, t long, v long")
+    got = asof_join(l_df, r_df, on="k", left_time="t", right_time="t", value_cols=["v"])
+    got_map = {int(r["q"]): (None if r["asof_v"] is None else int(r["asof_v"]))
+               for r in got.collect()}
+    assert got_map == exp_map
+    assert got.count() == len(left)  # every probe survives (left semantics)
+
+
+def test_binned_range_join_exact_and_duplicate_free(spark):
+    """binned_range_join ≡ the naive inequality join (inclusive bounds) with
+    no duplicate pairs, across bin-boundary-straddling intervals."""
+    from changedatacapture_spark.operators.asof import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 5, 10, 99, 100, 101, 250, 999])],
+        "pid long, t long",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 95, 105), (3, 100, 100), (4, 500, 600)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(pts, iv, point_time="t", lo="lo", hi="hi", bin_width=50).collect()
+    )
+    exp = sorted(
+        (p, i)
+        for p, t in [(i, t) for i, t in enumerate([0, 5, 10, 99, 100, 101, 250, 999])]
+        for i, lo, hi in [(1, 0, 10), (2, 95, 105), (3, 100, 100), (4, 500, 600)]
+        if lo <= t <= hi
+    )
+    assert got == exp
+    assert len(got) == len(set(got)), "duplicates leaked from bin explode"

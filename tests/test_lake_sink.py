@@ -179,3 +179,66 @@ def test_replace_keys_for_chunks(spark, tmp_path):
 
     # idempotent replay
     assert table.replace_keys(spark, rows1, rows1.select("url"), epoch_id=1) is None
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Every commit publishes an immutable snapshot: read(snapshot_id=N)
+    reproduces the table as of N (until vacuum reclaims superseded files)."""
+    table = LakeTable(str(tmp_path / "tt"), key="url", n_buckets=2)
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+    )
+    ts = dt.datetime(2024, 1, 1)
+    table.merge_lww(
+        spark, spark.createDataFrame([("u1", ts, 1, "c", 0, "v1")], schema), epoch_id=0
+    )
+    sid1 = table.current_snapshot()["snapshot_id"]
+    table.merge_lww(
+        spark,
+        spark.createDataFrame(
+            [("u1", ts + dt.timedelta(seconds=5), 2, "u", 0, "v2"),
+             ("u2", ts + dt.timedelta(seconds=6), 3, "c", 0, "w1")],
+            schema,
+        ),
+        epoch_id=1,
+    )
+    now = {r["url"]: r["text"] for r in table.read(spark).collect()}
+    assert now == {"u1": "v2", "u2": "w1"}
+    past = {r["url"]: r["text"] for r in table.read(spark, snapshot_id=sid1).collect()}
+    assert past == {"u1": "v1"}
+    assert table.snapshot_ids() == [1, 2]
+    assert table.read(spark, snapshot_id=99) is None
+
+
+def test_partial_compaction_rewrites_only_hot_buckets(spark, tmp_path):
+    """min_files compaction is O(hot data): only buckets holding >= min_files
+    delta files are folded; resolved state and read results are unchanged."""
+    table = LakeTable(str(tmp_path / "pc"), key="url", n_buckets=4)
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+    )
+    ts = dt.datetime(2024, 1, 1)
+    # u-hot lands in one bucket repeatedly; u-cold written once
+    for epoch in range(3):
+        rows = [("hot", ts + dt.timedelta(seconds=epoch), epoch + 1, "u", 0, f"h{epoch}")]
+        if epoch == 0:
+            rows.append(("cold", ts, 100, "c", 0, "c0"))
+        table.merge_lww(spark, spark.createDataFrame(rows, schema), epoch_id=epoch)
+
+    before = {b: list(fs) for b, fs in table.current_snapshot()["buckets"].items()}
+    hot_buckets = [b for b, fs in before.items() if len(fs) >= 3]
+    assert hot_buckets, "hot url should have stacked 3 delta files in its bucket"
+
+    snap = table.compact(spark, min_files=3)
+    assert snap["meta"] == {"compaction": True, "partial": True}
+    after = table.current_snapshot()["buckets"]
+    for b in hot_buckets:
+        assert len(after[b]) == 1, "hot bucket folded to one file"
+    for b, fs in before.items():
+        if b not in hot_buckets and len(fs) > 0:
+            assert after[b] == fs, "cold buckets untouched"
+    state = {r["url"]: r["text"] for r in table.read(spark).collect()}
+    assert state == {"hot": "h2", "cold": "c0"}
+
+    # below-threshold call is a no-op
+    assert table.compact(spark, min_files=3) is None
