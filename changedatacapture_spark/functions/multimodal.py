@@ -106,6 +106,78 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "bytes").mapInPandas(batches, META_OUT_SCHEMA)
 
 
+AUDIO_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def _parse_wav(b: bytes):
+    """Real RIFF/WAVE header parse (pure stdlib — no media libs needed):
+    walk chunks for fmt (channels/rate/bits) and data (payload size), derive
+    duration. Returns None for non-WAV / truncated input."""
+    import struct
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = data_size = None
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+        body = b[off + 8 : off + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or not rate:
+        return None
+    dur_ms = None
+    if data_size is not None and channels and bits:
+        bytes_per_sec = rate * channels * (bits // 8)
+        if bytes_per_sec:
+            dur_ms = int(data_size * 1000 / bytes_per_sec)
+    return channels, rate, bits, dur_ms
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """Audio blobs → typed metadata. WAV headers are parsed FOR REAL (pure
+    stdlib RIFF walk — channels, sample rate, bit depth, duration); other
+    containers fall back to the magic-byte sniff with null audio fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                if blob is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                b = bytes(blob)
+                wav = _parse_wav(b)
+                if wav is not None:
+                    ch, rate, bits, dur = wav
+                    rows.append((mid, len(b), "wav", ch, rate, bits, dur))
+                else:
+                    rows.append((mid, len(b), _sniff(b), None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "format", "channels",
+                    "sample_rate", "bits_per_sample", "duration_ms",
+                ],
+            )
+
+    return df.select("media_id", "bytes").mapInPandas(batches, AUDIO_OUT_SCHEMA)
+
+
 RESIZE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

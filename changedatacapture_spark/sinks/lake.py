@@ -70,7 +70,9 @@ class LakeTable:
 
     def __init__(self, path: str, key: str = "url", n_buckets: int = 16, mode: str = "row"):
         assert mode in ("row", "set", "replace")
-        self.path = path
+        # snapshots record absolute file paths — a relative table root would
+        # pin the table to the creating process's CWD
+        self.path = os.path.abspath(path)
         self.key = key
         self.n_buckets = n_buckets
         self.mode = mode

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--tail", action="store_true", help="keep running (processingTime trigger)")
     ap.add_argument("--embeddings", action="store_true")
     ap.add_argument("--watermark", default="30 minutes")
+    ap.add_argument(
+        "--compact-every", type=int, default=16,
+        help="fold merge-on-read deltas every N epochs (0 disables)",
+    )
     args = ap.parse_args()
 
     from changedatacapture_spark.streaming.driver import CdcPipeline
@@ -33,6 +37,7 @@ def main():
         with_chunks=True,
         with_embeddings=args.embeddings,
         watermark=args.watermark,
+        compact_every=args.compact_every or None,
     )
     query = pipe.run_stream(
         spark,
