@@ -399,6 +399,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "doc_lang_scores": f"SELECT doc_id, {_LANG_SCORE_COLS} FROM documents",
+    "corpus_prep": """
+        WITH scored AS (
+          SELECT doc_id, text,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_count,
+            CAST(round((
+              0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE))
+              + 0.3 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0)
+              + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE))
+            ) * 1000000) AS BIGINT) AS quality_micro
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM scored
+          WHERE quality_micro >= 500000 AND token_count BETWEEN 20 AND 2000
+        )
+        SELECT min(doc_id) AS doc_id,
+               arg_max(token_count, -doc_id) AS token_count,
+               arg_max(quality_micro, -doc_id) AS quality_micro
+        FROM kept GROUP BY md5(text)
+    """,
     "dedup_exact": f"""
         WITH corpus AS ({_DUP_CORPUS})
         SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keeper

@@ -497,6 +497,31 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep pipeline in one plan: quality floor →
+    token-length band → exact-dedup (keep lowest doc_id per content hash) —
+    the shape every pretraining corpus pass runs. All stages are JVM column
+    expressions; the dedup is a single hash groupBy (no all-pairs)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        text_fn.token_count("text"),
+        text_fn.quality_score_micro("text"),
+    )
+    kept = docs.where(
+        (F.col("quality_micro") >= 500_000) & F.col("token_count").between(20, 2000)
+    )
+    return (
+        kept.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.max_by(F.col("token_count"), -F.col("doc_id")).alias("token_count"),
+            F.max_by(F.col("quality_micro"), -F.col("doc_id")).alias("quality_micro"),
+        )
+        .select("doc_id", "token_count", "quality_micro")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational parity (reference S7/P5/J1/A1/O3 over the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -574,6 +599,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_fingerprints": doc_fingerprints,
     "doc_lang_scores": doc_lang_scores,
+    "corpus_prep": corpus_prep,
     "dedup_exact": dedup_exact,
     "dedup_minhash_candidates": dedup_minhash_candidates,
     "dedup_jaccard": dedup_jaccard,

@@ -277,6 +277,10 @@ class LakeTable:
         if append:
             for b, fs in written.items():
                 buckets[b] = list(buckets.get(b, [])) + fs
+            if not written and snap is not None:
+                # an empty append (e.g. a chunks epoch where every key was
+                # skipped) changes no data — keep the resolution state
+                resolved = snap.get("resolved", True)
         else:
             for b in touched_buckets or []:
                 buckets[str(b)] = written.get(str(b), [])

@@ -320,6 +320,8 @@ class CdcPipeline:
         fn = self.embed_fn if self.embed_fn is not None else transform.embed_stub_udf
         ex = None
         if self.reuse_embeddings:
+            # pages and chunks share key + n_buckets, so the pages-side
+            # touched-bucket ids are valid for the chunks table too
             ex = self.chunks.read_bucket_winners(
                 spark, touched, columns=["chunk_index", "content", "embedding", "is_deleted"]
             )
