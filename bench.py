@@ -230,11 +230,12 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
         # skip means only changed urls re-chunk/re-embed; the reference
         # re-embeds every update (its incremental mode claims the same skip,
         # incremental_pinecone_updater.py:245-277 — this is our twin of it).
-        def stream_noop():
+        if not only or "cdc_stream_noop" in only:
+            # generate OUTSIDE the timed block — a cold /tmp cache would
+            # otherwise charge dataset generation to the first run only,
+            # corrupting the interleaved best-of-K protocol
             noop_log = ensure_bench_log(spark, sf_dir, n_events, n_urls, noop_frac=0.8)
-            stream_replay("noop", noop_log, "noop_")
-
-        timed("cdc_stream_noop", stream_noop)
+            timed("cdc_stream_noop", lambda: stream_replay("noop", noop_log, "noop_"))
 
         # -- derived chunks over the final pages ----------------------------
         def chunks():

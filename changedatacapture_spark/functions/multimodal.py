@@ -2,15 +2,15 @@
 opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries): every operator tries the real library behind an import-guard
-(Pillow / PyAV) and otherwise runs a clearly-marked DETERMINISTIC FAKE —
-:func:`decode_image_meta` falls back to a header sniff,
-:func:`resize_images` emits size-faithful sha256-keyed rasters, and
-:func:`sample_video_frames` derives frame timestamps from the duration
-metadata. The Spark-side plumbing — schemas, mapInPandas batch iteration,
-1-row→N-frames explode cardinality, partition sizing — is real and tested
-(tests/test_multimodal.py).
+Pixel/sample decode is STUBBED where this container lacks media libraries:
+:func:`decode_image_meta` and :func:`resize_images` try Pillow behind an
+import-guard and otherwise run a clearly-marked DETERMINISTIC FAKE (header
+sniff / size-faithful sha256-keyed rasters); :func:`decode_audio_meta`
+parses WAV headers FOR REAL (pure stdlib); :func:`sample_video_frames` is
+always the deterministic fake (no decoder wired — a deployment swaps PyAV
+into the loop). The Spark-side plumbing — schemas, mapInPandas batch
+iteration, 1-row→N-frames explode cardinality, partition sizing — is real
+and tested (tests/test_multimodal.py).
 
 Scale notes: media blobs dominate row size, so the iterator-of-batches shape
 (``mapInPandas``) matters — one row group streams through the Python worker
@@ -256,17 +256,12 @@ FRAME_OUT_SCHEMA = T.StructType(
 
 def sample_video_frames(df: DataFrame, every_n_seconds: float) -> DataFrame:
     """Frame sampling: 1 blob row → N frame rows (the UDTF batch shape) via
-    ``mapInPandas``. A real deployment swaps the decoder (e.g. PyAV) into the
-    inner loop; without it the DETERMINISTIC FAKE derives the duration from
-    ``meta['duration_s']`` (fallback: 1 s per 10 KB) and emits sha256-keyed
-    frame payloads at the sampling timestamps — the explode cardinality,
-    schema, and ordering are the real contract and are tested."""
-    try:  # pragma: no cover - optional dependency
-        import av  # noqa: F401
-
-        have_av = True
-    except ImportError:
-        have_av = False
+    ``mapInPandas``. The frame payloads are ALWAYS the DETERMINISTIC FAKE
+    (no video decoder is wired yet — swapping PyAV into the inner loop is the
+    deployment TODO; unlike resize_images there is no silent real-lib branch,
+    so installing PyAV cannot change behavior unnoticed). Duration comes from
+    ``meta['duration_s']`` (fallback: 1 s per 10 KB); the explode
+    cardinality, schema, and ordering are the real contract and are tested."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -276,10 +271,6 @@ def sample_video_frames(df: DataFrame, every_n_seconds: float) -> DataFrame:
                 if blob is None:
                     continue
                 b = bytes(blob)
-                if have_av:  # pragma: no cover - real decoder path
-                    # real path: open container, seek every_n_seconds, encode
-                    # frames; omitted in this container
-                    pass
                 dur = None
                 if meta is not None and "duration_s" in meta:
                     try:

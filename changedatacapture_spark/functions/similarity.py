@@ -234,6 +234,8 @@ def ivf_train(
     if frac < 1.0:
         sample = sample.sample(fraction=frac, seed=42)
     x = np.array(sample.limit(sample_rows).toPandas()[vec_col].tolist(), dtype=np.float64)
+    if x.ndim != 2 or len(x) == 0:
+        raise ValueError("ivf_train: empty embedding corpus")
     k = min(n_cells, len(x))
     rng = np.random.Generator(
         np.random.Philox(
@@ -242,8 +244,11 @@ def ivf_train(
     )
     centroids = x[rng.choice(len(x), size=k, replace=False)]
     for _ in range(iters):
-        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        # ||x-c||² argmin via ||c||² - 2x·cᵀ (||x||² is constant per row):
+        # O(n·k) memory — the broadcast difference tensor would be
+        # n·k·dim·8 bytes (~10 GB at the defaults)
+        cn = (centroids**2).sum(axis=1)
+        assign = (cn[None, :] - 2.0 * (x @ centroids.T)).argmin(axis=1)
         for c in range(k):
             members = x[assign == c]
             if len(members):

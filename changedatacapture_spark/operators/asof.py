@@ -50,11 +50,15 @@ def asof_join(
         .drop(left_time)
         .withColumn(marker, F.lit(1))
     )
+    # ALL value columns ride in ONE struct: a right row contributes a
+    # non-null struct even when individual values are legitimately NULL, so
+    # last(ignorenulls) can neither substitute an older row's value for a
+    # NULL match nor mix columns from different right rows
     rt = right.select(
         F.col(on),
         F.col(right_time).alias(t),
         F.lit(0).alias(marker),
-        *[F.col(c).alias(f"_asof_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_asof"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     order = [F.col(t), F.col(marker)] + ([F.col(tie_col)] if tie_col else [])
@@ -63,13 +67,11 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(f"_asof_{c}", F.last(f"_asof_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_asof", F.last("_asof", ignorenulls=True).over(w))
     out = u.where(F.col(marker) == 1).drop(marker)
-    renames = {f"_asof_{c}": f"asof_{c}" for c in value_cols}
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
-    return out.withColumnRenamed(t, left_time)
+    for c in value_cols:
+        out = out.withColumn(f"asof_{c}", F.col(f"_asof.{c}"))
+    return out.drop("_asof").withColumnRenamed(t, left_time)
 
 
 def binned_range_join(

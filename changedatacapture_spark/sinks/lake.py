@@ -76,8 +76,8 @@ class LakeTable:
         self.key = key
         self.n_buckets = n_buckets
         self.mode = mode
-        self.meta_dir = os.path.join(path, "_meta")
-        self.data_dir = os.path.join(path, "data")
+        self.meta_dir = os.path.join(self.path, "_meta")
+        self.data_dir = os.path.join(self.path, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -169,6 +169,41 @@ class LakeTable:
             .drop("_mx")
         )
 
+    def _read_resolved(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        bucket_files: dict[str, list[str]],
+        columns: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Per-bucket merge-on-read resolution: a bucket holding ≤1 file is
+        resolved by construction (every write method emits ≤1 row-set per key
+        per file), so only multi-file buckets pay the max_by/window fold —
+        one hot bucket's deltas don't force resolution over the whole table."""
+        schema = [tuple(c) for c in snap["schema"]]
+        single = [f for fs in bucket_files.values() if len(fs) <= 1 for f in fs]
+        multi = [f for fs in bucket_files.values() if len(fs) > 1 for f in fs]
+
+        def _prune(df: DataFrame) -> DataFrame:
+            if columns is None:
+                return df
+            need = [self.key, "op", "warc_ts", "pos"] + list(columns)
+            return df.select(*[c for c in dict.fromkeys(need) if c in df.columns])
+
+        parts = []
+        s_df = self._read_files(spark, single, schema)
+        if s_df is not None:
+            parts.append(_prune(s_df))
+        m_df = self._read_files(spark, multi, schema)
+        if m_df is not None:
+            parts.append(self._resolve(_prune(m_df)))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read_raw(
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame | None:
@@ -179,13 +214,7 @@ class LakeTable:
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         if snap is None:
             return None
-        files = [f for bucket_files in snap["buckets"].values() for f in bucket_files]
-        df = self._read_files(spark, files, [tuple(c) for c in snap["schema"]])
-        if df is None:
-            return None
-        if not snap.get("resolved", True):
-            df = self._resolve(df)
-        return df
+        return self._read_resolved(spark, snap, snap["buckets"])
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
         """Public table view: tombstones filtered out; optionally as of a
@@ -210,16 +239,8 @@ class LakeTable:
         snap = self.current_snapshot()
         if snap is None:
             return None
-        files = [f for b in buckets for f in snap["buckets"].get(str(b), [])]
-        df = self._read_files(spark, files)
-        if df is None:
-            return None
-        if columns is not None:
-            need = [self.key, "op", "warc_ts", "pos"] + list(columns)
-            df = df.select(*[c for c in dict.fromkeys(need) if c in df.columns])
-        if not snap.get("resolved", True):
-            df = self._resolve(df)
-        return df
+        sub = {str(b): snap["buckets"].get(str(b), []) for b in buckets}
+        return self._read_resolved(spark, snap, sub, columns=columns)
 
     # -- write ----------------------------------------------------------------
 
@@ -471,10 +492,10 @@ class LakeTable:
             ]
             if not touched:
                 return None
-            files = [f for b in touched for f in snap["buckets"][str(b)]]
-            df = self._read_files(spark, files)
-            if not snap.get("resolved", True):
-                df = self._resolve(df)
+            sub = {str(b): snap["buckets"][str(b)] for b in touched}
+            df = self._read_resolved(spark, snap, sub)
+            if df is None:
+                return None
             self._current_write_schema = self.schema_columns()
             out = df.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
             new_snap = self._commit(
@@ -495,6 +516,8 @@ class LakeTable:
             self.vacuum()
             return new_snap
         df = self.read_raw(spark)  # resolved
+        if df is None:
+            return None  # snapshot references zero live files — nothing to fold
         if drop_tombstones_before is not None and "is_deleted" in df.columns:
             df = df.where(
                 (F.col("is_deleted").isNull())

@@ -14,6 +14,13 @@ State TTL: with ``ttl_ms`` set, a url whose last event is older than
 tracker's state stays bounded by the active-url working set instead of
 growing for the stream's lifetime (VERDICT r1 #5). Eviction is tied to the
 watermark, so it can never race a late event that is still admissible.
+
+Checkpoint compatibility: STATE_SCHEMA gained ``last_pos`` in round 2 (the
+late-batch last_op fix needs the full order key). ``applyInPandasWithState``
+state schemas are NOT evolvable — a tracker checkpoint written by the
+4-field schema cannot be resumed by this code; start it with a fresh
+checkpoint directory (the DATA tables are unaffected: their exactly-once
+state lives in the lake epoch log, not here).
 """
 
 from __future__ import annotations

@@ -89,7 +89,8 @@ def test_merge_on_read_write_plan_reads_no_existing_data(spark, tmp_path):
     t.merge_lww(spark, b0, epoch_id=0)
 
     # build exactly what the second merge writes and inspect its plan
-    b1 = spark.createDataFrame([("u2", ts, 2, "c", 0, "v2")], schema)
+    # (same key → same bucket stacks two delta files)
+    b1 = spark.createDataFrame([("u1", ts, 2, "u", 0, "v2")], schema)
     t._current_write_schema = t._merged_schema(b1)
     to_write = _align_to(b1, t._current_write_schema).withColumn(
         "_bucket", _bucket_col("url", 4)
@@ -98,9 +99,11 @@ def test_merge_on_read_write_plan_reads_no_existing_data(spark, tmp_path):
     assert "FileScan" not in plan, plan  # append sources only the in-memory batch
 
     t.merge_lww(spark, b1, epoch_id=1)
-    # and the read side resolves LWW with a partial (map-side) aggregate
+    # and the read side resolves LWW with a partial (map-side) aggregate —
+    # applied ONLY to the multi-file bucket (per-bucket merge-on-read)
     read_plan = _plan(t.read_raw(spark))
     assert "partial_max_by" in read_plan, read_plan
+    assert [r["text"] for r in t.read(spark).collect()] == ["v2"]
 
 
 def test_set_table_read_skips_resolution_after_compaction(spark, tmp_path):
