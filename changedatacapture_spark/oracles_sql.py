@@ -347,6 +347,13 @@ ORACLE_SQL: dict[str, str] = {
         HAVING count(*) * 100 > (SELECT count(*) FROM env)
     """,
     "doc_chunks": _CHUNKS,
+    "doc_chunk_previews": f"""
+        WITH ch AS ({_CHUNKS})
+        SELECT doc_id, chunk_index,
+               substr(content, 1, 500) AS content_preview,
+               CAST(length(content) AS INT) AS full_len
+        FROM ch
+    """,
     "doc_line_diff": f"""
         WITH pair AS (
           SELECT doc_id, {_SECTIONED} AS old_text,

@@ -356,6 +356,20 @@ def doc_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunk_previews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: the [:500] content truncation stored in vector metadata
+    (main.py:920, :1083, :1272) — code-point semantics match Python slicing
+    and DuckDB substr (pinned with multibyte text in
+    tests/test_transform_parity.py)."""
+    ch = doc_chunks(spark, sf_dir)
+    return ch.select(
+        "doc_id",
+        "chunk_index",
+        F.substring("content", 1, 500).alias("content_preview"),
+        F.length("content").alias("full_len"),
+    )
+
+
 def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: chunk summary aggregate (main.py:822-827): totals + avg size in
     micro-units."""
@@ -594,6 +608,7 @@ QUERIES = {
     "events_in_windows": events_in_windows,
     "doc_chunks": doc_chunks,
     "doc_chunk_stats": doc_chunk_stats,
+    "doc_chunk_previews": doc_chunk_previews,
     "doc_line_diff": doc_line_diff,
     "doc_token_counts": doc_token_counts,
     "doc_quality": doc_quality,

@@ -280,3 +280,37 @@ def test_binned_range_join_exact_and_duplicate_free(spark):
     )
     assert got == exp
     assert len(got) == len(set(got)), "duplicates leaked from bin explode"
+
+
+def test_asof_join_null_value_match_not_substituted(spark):
+    """A matched right row whose value is legitimately NULL must yield NULL —
+    not an older row's value — and multiple value columns must come from the
+    SAME right row (the struct-carrier property)."""
+    from changedatacapture_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([("k", 25, 0), ("k", 15, 1)], "k string, t long, q long")
+    r = spark.createDataFrame([("k", 10, 1), ("k", 20, None)], "k string, t long, v long")
+    got = {row["q"]: (row["asof_v"], row["asof_t"])
+           for row in asof_join(l, r, on="k", left_time="t", right_time="t",
+                                value_cols=["v", "t"]).collect()}
+    assert got[0] == (None, 20), "NULL match must not fall back to the older row"
+    assert got[1] == (1, 10)
+
+
+def test_compact_on_emptied_table_is_noop(spark, tmp_path):
+    """compact() must not crash when the snapshot references zero live files
+    (tombstone aging dropped everything / empty-batch commit) — the periodic
+    maintenance call runs inside the stream."""
+    import datetime as dt
+
+    from changedatacapture_spark.sinks.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "e"), key="url", n_buckets=2)
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+    )
+    ts = dt.datetime(2024, 1, 1)
+    t.merge_lww(spark, spark.createDataFrame([("u1", ts, 1, "d", 1, None)], schema), epoch_id=0)
+    t.compact(spark, drop_tombstones_before=ts + dt.timedelta(days=1))
+    assert t.read_raw(spark) is None or t.read_raw(spark).count() == 0
+    assert t.compact(spark) is None  # second maintenance pass: clean no-op

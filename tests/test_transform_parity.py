@@ -105,3 +105,19 @@ def test_embed_stub_deterministic_unit_norm(spark):
     assert vs[0] != vs[2]
     assert len(vs[0]) == transform.EMBED_DIM
     assert abs(float(np.linalg.norm(vs[0])) - 1.0) < 1e-5
+
+
+def test_truncation_500_matches_python_slice_multibyte(spark):
+    """F11: substring(content, 1, 500) counts CODE POINTS like the
+    reference's Python [:500] slice (main.py:920) — pinned on multibyte
+    text straddling the boundary."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "é" * 600,                      # 2-byte code points
+    ]
+    texts.append("x" * 499 + "語りき" + "y" * 100)  # CJK at the boundary
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r["i"]: r["p"] for r in df.select("i", F.substring("t", 1, 500).alias("p")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == t[:500], f"case {i}"
