@@ -80,6 +80,14 @@ class LakeTable:
         self.data_dir = os.path.join(self.path, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # the key→bucket mapping is part of the table's physical layout: an
+        # existing table's persisted bucket count always wins over the
+        # constructor argument (a silent mismatch would split a key across
+        # buckets and defeat per-bucket LWW resolution). Rebucket explicitly
+        # via compact(n_buckets=...).
+        snap = self.current_snapshot()
+        if snap is not None and "n_buckets" in snap:
+            self.n_buckets = int(snap["n_buckets"])
 
     # -- snapshot log ---------------------------------------------------------
 
@@ -288,6 +296,7 @@ class LakeTable:
         append: bool,
         touched_buckets: list[int] | None = None,
         resolved: bool,
+        full_replace: bool = False,
         extra_meta: dict | None = None,
     ) -> dict:
         snap = self.current_snapshot()
@@ -295,7 +304,11 @@ class LakeTable:
         sid = parent + 1
         written = self._write_buckets(new_rows, sid)
         buckets: dict[str, list[str]] = dict(snap["buckets"]) if snap else {}
-        if append:
+        if full_replace:
+            # whole-table rewrite (full compaction / rebucketing): only the
+            # files just written are live
+            buckets = dict(written)
+        elif append:
             for b, fs in written.items():
                 buckets[b] = list(buckets.get(b, [])) + fs
             if not written and snap is not None:
@@ -319,6 +332,7 @@ class LakeTable:
             "snapshot_id": sid,
             "parent": parent,
             "schema": [list(c) for c in self._current_write_schema],
+            "n_buckets": self.n_buckets,
             "buckets": buckets,
             "epochs": epochs,
             "resolved": resolved,
@@ -437,10 +451,11 @@ class LakeTable:
                 existing_files.extend(snap["buckets"].get(str(b), []))
 
         aligned_new = _align_to(rows, merged_schema)
+        existing = None
         if existing_files:
-            existing = self._read_files(spark, existing_files)
-            if not snap.get("resolved", True):
-                existing = self._resolve(existing)
+            sub = {str(b): snap["buckets"].get(str(b), []) for b in touched}
+            existing = self._read_resolved(spark, snap, sub)
+        if existing is not None:
             existing = _align_to(existing, merged_schema)
             survivors = existing.join(keys_b.select(self.key), on=self.key, how="left_anti")
             out = survivors.unionByName(aligned_new)
@@ -461,6 +476,7 @@ class LakeTable:
         *,
         drop_tombstones_before=None,
         min_files: int | None = None,
+        n_buckets: int | None = None,
     ) -> dict | None:
         """Fold merge-on-read delta files into one resolved file per bucket
         and optionally age out LWW tombstones older than
@@ -480,11 +496,15 @@ class LakeTable:
         this continuously instead of big-bang). Tombstone aging requires the
         full pass (a partially-aged table would be inconsistent), so
         ``drop_tombstones_before`` forces min_files=None.
+
+        ``n_buckets``: rebucket the table during the full pass — the ONLY
+        legal way to change the key→bucket mapping (snapshots persist the
+        bucket count; the constructor adopts it).
         """
         snap = self.current_snapshot()
         if snap is None:
             return None
-        if drop_tombstones_before is not None:
+        if drop_tombstones_before is not None or n_buckets is not None:
             min_files = None
         if min_files is not None:
             touched = [
@@ -524,15 +544,16 @@ class LakeTable:
                 | (F.col("is_deleted") == 0)
                 | (F.col("warc_ts") >= F.lit(drop_tombstones_before))
             )
+        if n_buckets is not None:
+            self.n_buckets = n_buckets
         self._current_write_schema = self.schema_columns()
         out = df.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
-        touched = list(range(self.n_buckets))
         new_snap = self._commit(
             spark,
             out,
             epoch_id=None,
             append=False,
-            touched_buckets=touched,
+            full_replace=True,
             resolved=True,
             extra_meta={"compaction": True},
         )

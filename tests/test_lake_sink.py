@@ -242,3 +242,35 @@ def test_partial_compaction_rewrites_only_hot_buckets(spark, tmp_path):
 
     # below-threshold call is a no-op
     assert table.compact(spark, min_files=3) is None
+
+
+def test_reopen_adopts_persisted_bucket_count_and_rebucket(spark, tmp_path):
+    """The key→bucket mapping is physical layout: reopening a table with a
+    different n_buckets argument must ADOPT the persisted count (a silent
+    mismatch would split a key across buckets and defeat per-bucket LWW
+    resolution); rebucketing happens only via compact(n_buckets=...)."""
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+    )
+    ts = dt.datetime(2024, 1, 1)
+    t1 = LakeTable(str(tmp_path / "t"), key="url", n_buckets=16)
+    t1.merge_lww(spark, spark.createDataFrame([("k", ts, 1, "c", 0, "old")], schema), epoch_id=0)
+
+    # reopen with a DIFFERENT count: adopted, not trusted
+    t2 = LakeTable(str(tmp_path / "t"), key="url", n_buckets=64)
+    assert t2.n_buckets == 16
+    t2.merge_lww(
+        spark,
+        spark.createDataFrame([("k", ts + dt.timedelta(seconds=5), 2, "u", 0, "new")], schema),
+        epoch_id=1,
+    )
+    rows = t2.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new", "LWW must still collapse k"
+
+    # explicit rebucketing compact rewrites the whole layout
+    snap = t2.compact(spark, n_buckets=4)
+    assert snap["n_buckets"] == 4
+    assert all(int(b) < 4 for b in snap["buckets"])
+    t3 = LakeTable(str(tmp_path / "t"), key="url", n_buckets=16)
+    assert t3.n_buckets == 4  # adopted again
+    assert [r["text"] for r in t3.read(spark).collect()] == ["new"]
