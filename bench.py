@@ -103,12 +103,9 @@ def _parquet_bytes(path: str) -> int:
 
 
 def _live_bytes(table) -> int:
-    snap = table.current_snapshot()
-    if not snap:
-        return 0
     return sum(
         os.path.getsize(f)
-        for bf in snap["buckets"].values()
+        for bf in table.bucket_files().values()
         for f in bf
         if os.path.exists(f)
     )

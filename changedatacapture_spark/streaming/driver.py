@@ -60,6 +60,7 @@ class CdcPipeline:
         reuse_embeddings: bool = True,
         watermark: str = "30 minutes",
         compact_every: int | None = None,
+        key_skip_max: int = 4096,
     ):
         self.pages = LakeTable(
             os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets, mode="row"
@@ -76,6 +77,12 @@ class CdcPipeline:
         self.reuse_embeddings = reuse_embeddings
         self.watermark = watermark
         self.compact_every = compact_every
+        # file-level key skipping: batches with ≤ this many keys collect the
+        # key list once and bloom-prune the pre-MERGE probe and the
+        # embedding-reuse pre-read down to the files that can contain them
+        # (above it, the isin literal + driver-side bloom tests would cost
+        # more than they save — pruning degrades gracefully to bucket scope)
+        self.key_skip_max = key_skip_max
         self.metrics: list[dict] = []
 
     # -- the foreachBatch body -------------------------------------------------
@@ -146,14 +153,22 @@ class CdcPipeline:
             # capture the PRE-merge winners of the touched buckets (lazy: the
             # file list is pinned now from the current snapshot, so executing
             # this plan after the merge still reads pre-merge state). Only the
-            # key/order/hash columns are read — never payload bytes.
+            # key/order/hash columns are read — never payload bytes; for
+            # small batches the batch's key list bloom-prunes the file list
+            # down to the files that can contain those keys.
+            probe_keys = None
+            if rows_in <= self.key_skip_max:
+                probe_keys = [r["url"] for r in winners_raw.select("url").collect()]
             cur = None
             if self.with_chunks:
                 cur = self.pages.read_bucket_winners(
-                    spark, touched, columns=["content_hash", "is_deleted"]
+                    spark,
+                    touched,
+                    columns=["content_hash", "is_deleted"],
+                    probe_keys=probe_keys,
                 )
 
-            snap = self.pages.merge_lww(spark, deltas2, epoch_id=epoch_id)
+            snap = self.pages.merge_lww(spark, deltas2, epoch_id=epoch_id, pre_reduced=True)
             mark("merge", tick)
             pages_replayed = snap is None  # pages already committed this epoch
             if pages_replayed and not self.with_chunks:
@@ -168,7 +183,13 @@ class CdcPipeline:
             # skipping would permanently lose the crashed chunks epoch.
             if self.with_chunks:
                 self._apply_chunks(
-                    spark, deltas2, cur, touched, epoch_id, allow_skip=not pages_replayed
+                    spark,
+                    deltas2,
+                    cur,
+                    touched,
+                    epoch_id,
+                    allow_skip=not pages_replayed,
+                    probe_keys=probe_keys,
                 )
                 mark("chunks", tick)
 
@@ -223,6 +244,7 @@ class CdcPipeline:
         touched: list[int],
         epoch_id: int,
         allow_skip: bool,
+        probe_keys: list[str] | None = None,
     ) -> None:
         """Chunk/embed only what the merge outcome requires:
 
@@ -286,7 +308,9 @@ class CdcPipeline:
             )
             chunked.persist()  # the chunk UDF must run once, not per branch
             if self.with_embeddings:
-                emb_chunks, j_emb = self._embed_with_reuse(spark, chunked, touched)
+                emb_chunks, j_emb = self._embed_with_reuse(
+                    spark, chunked, touched, probe_keys=probe_keys
+                )
             else:
                 emb_chunks = chunked
 
@@ -301,7 +325,7 @@ class CdcPipeline:
             rows = emb_chunks.withColumn("is_deleted", F.lit(0)).unionByName(
                 tombs, allowMissingColumns=True
             )
-            self.chunks.merge_sets(spark, rows, epoch_id=epoch_id)
+            self.chunks.merge_sets(spark, rows, epoch_id=epoch_id, pre_reduced=True)
         finally:
             changed.unpersist()
             if chunked is not None:
@@ -310,20 +334,29 @@ class CdcPipeline:
                 j_emb.unpersist()
 
     def _embed_with_reuse(
-        self, spark: SparkSession, new_chunks: DataFrame, touched: list[int]
+        self,
+        spark: SparkSession,
+        new_chunks: DataFrame,
+        touched: list[int],
+        probe_keys: list[str] | None = None,
     ):
         """Embed only chunks whose content actually changed: unchanged
         (url, chunk_index, content) triples take their embedding from the
-        stored chunk row (column-pruned read of the touched buckets). For an
-        update that edits one section of a page, only that section's chunks
-        pay the model. Returns (chunks_with_embeddings, persisted_join)."""
+        stored chunk row (column-pruned read of the touched buckets,
+        bloom-pruned to the files holding the batch's urls when the batch is
+        small — the r2 'reuse pre-read scans every touched bucket' fix). For
+        an update that edits one section of a page, only that section's
+        chunks pay the model. Returns (chunks_with_embeddings, persisted_join)."""
         fn = self.embed_fn if self.embed_fn is not None else transform.embed_stub_udf
         ex = None
         if self.reuse_embeddings:
             # pages and chunks share key + n_buckets, so the pages-side
             # touched-bucket ids are valid for the chunks table too
             ex = self.chunks.read_bucket_winners(
-                spark, touched, columns=["chunk_index", "content", "embedding", "is_deleted"]
+                spark,
+                touched,
+                columns=["chunk_index", "content", "embedding", "is_deleted"],
+                probe_keys=probe_keys,
             )
             if ex is not None and "embedding" not in ex.columns:
                 ex = None

@@ -117,7 +117,7 @@ def test_lake_compaction(spark, tmp_path):
     assert t.read_raw(spark).count() == 3  # tombstone aged out
     assert sorted(r["url"] for r in t.read(spark).collect()) == ["u1", "u2", "u3"]
     # one file per non-empty bucket after compaction
-    files_per_bucket = [len(v) for v in t.current_snapshot()["buckets"].values()]
+    files_per_bucket = [len(v) for v in t.bucket_files().values()]
     assert all(n <= 1 for n in files_per_bucket)
 
 

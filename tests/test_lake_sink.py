@@ -225,13 +225,13 @@ def test_partial_compaction_rewrites_only_hot_buckets(spark, tmp_path):
             rows.append(("cold", ts, 100, "c", 0, "c0"))
         table.merge_lww(spark, spark.createDataFrame(rows, schema), epoch_id=epoch)
 
-    before = {b: list(fs) for b, fs in table.current_snapshot()["buckets"].items()}
+    before = {b: list(fs) for b, fs in table.bucket_files().items()}
     hot_buckets = [b for b, fs in before.items() if len(fs) >= 3]
     assert hot_buckets, "hot url should have stacked 3 delta files in its bucket"
 
     snap = table.compact(spark, min_files=3)
     assert snap["meta"] == {"compaction": True, "partial": True}
-    after = table.current_snapshot()["buckets"]
+    after = table.bucket_files()
     for b in hot_buckets:
         assert len(after[b]) == 1, "hot bucket folded to one file"
     for b, fs in before.items():
@@ -274,3 +274,155 @@ def test_reopen_adopts_persisted_bucket_count_and_rebucket(spark, tmp_path):
     t3 = LakeTable(str(tmp_path / "t"), key="url", n_buckets=16)
     assert t3.n_buckets == 4  # adopted again
     assert [r["text"] for r in t3.read(spark).collect()] == ["new"]
+
+
+# ---------------------------------------------------------------------------
+# Round 3: manifest split + file-level key skipping + ADVICE r2 fixes
+# ---------------------------------------------------------------------------
+
+_R3_SCHEMA = (
+    "url string, warc_ts timestamp, pos long, op string, is_deleted int, text string"
+)
+
+
+def test_file_skipping_prunes_point_reads(spark, tmp_path):
+    """Per-file key blooms: a 1-url probe reads only the files whose bloom
+    may contain it — not the bucket's whole delta stack (VERDICT r2 item 1:
+    'a 1-url probe reads ≤1 file per bucket')."""
+    table = LakeTable(str(tmp_path / "fs"), key="url", n_buckets=4)
+    ts = dt.datetime(2024, 1, 1)
+    for e in range(6):  # 6 epochs × disjoint urls → every bucket stacks deltas
+        rows = [
+            (f"u{e}_{i}", ts + dt.timedelta(seconds=e), e * 10 + i, "c", 0, f"v{e}")
+            for i in range(8)
+        ]
+        table.merge_lww(spark, spark.createDataFrame(rows, _R3_SCHEMA), epoch_id=e)
+
+    total_files = sum(len(v) for v in table.bucket_files().values())
+    assert total_files >= 12, "setup: buckets should hold multiple delta files"
+
+    pruned = table.files_for_keys(spark, ["u3_0"])
+    assert len(pruned) <= 2, f"bloom skipping failed: {len(pruned)} files kept"
+    got = table.read_keys(spark, ["u3_0"]).collect()
+    assert [(r["url"], r["text"]) for r in got] == [("u3_0", "v3")]
+
+    # a key the table never saw prunes to zero files (≈1% FP tolerance)
+    assert len(table.files_for_keys(spark, ["never-written"])) <= 1
+
+    # LWW across epochs still resolves through the pruned read
+    table.merge_lww(
+        spark,
+        spark.createDataFrame(
+            [("u3_0", ts + dt.timedelta(seconds=99), 999, "u", 0, "v-new")], _R3_SCHEMA
+        ),
+        epoch_id=6,
+    )
+    got = table.read_keys(spark, ["u3_0", "u1_2"]).collect()
+    state = {r["url"]: r["text"] for r in got}
+    assert state == {"u3_0": "v-new", "u1_2": "v1"}
+
+    # a deleted key reads as absent through read_keys
+    table.merge_lww(
+        spark,
+        spark.createDataFrame(
+            [("u1_2", ts + dt.timedelta(seconds=100), 1000, "d", 1, None)], _R3_SCHEMA
+        ),
+        epoch_id=7,
+    )
+    df = table.read_keys(spark, ["u1_2"])
+    assert df is None or df.count() == 0
+
+
+def test_merge_reduces_unreduced_batch(spark, tmp_path):
+    """ADVICE r2 (medium): a caller passing UNREDUCED deltas (several rows per
+    key) must still read back exactly one LWW winner — merge_lww reduces by
+    default; pre_reduced=True is the driver's opt-out."""
+    table = LakeTable(str(tmp_path / "ur"), key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", ts, 1, "c", 0, "v1"),
+        ("u1", ts + dt.timedelta(seconds=2), 2, "u", 0, "v2"),
+        ("u1", ts + dt.timedelta(seconds=1), 3, "u", 0, "mid"),
+    ]
+    table.merge_lww(spark, spark.createDataFrame(rows, _R3_SCHEMA), epoch_id=0)
+    got = table.read(spark).collect()
+    assert len(got) == 1 and got[0]["text"] == "v2"
+
+
+def test_set_mode_cross_epoch_duplicate_set(spark, tmp_path):
+    """ADVICE r2 (low): the SAME chunk set redelivered in a different epoch
+    (outside the epoch log) must not survive twice — the commit-file
+    tiebreaker keeps exactly one copy."""
+    schema = (
+        "url string, warc_ts timestamp, pos long, op string, is_deleted int,"
+        " chunk_index int, content string"
+    )
+    table = LakeTable(str(tmp_path / "dup"), key="url", n_buckets=2, mode="set")
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", ts, 5, "u", 0, 0, "chunk-a"),
+        ("u1", ts, 5, "u", 0, 1, "chunk-b"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    table.merge_sets(spark, df, epoch_id=0, pre_reduced=True)
+    table.merge_sets(spark, df, epoch_id=1, pre_reduced=True)  # duplicate delivery
+    got = sorted(
+        (r["chunk_index"], r["content"]) for r in table.read(spark).collect()
+    )
+    assert got == [(0, "chunk-a"), (1, "chunk-b")], f"duplicated set: {got}"
+
+
+def test_expired_snapshot_reads_none_and_empty_commit_cleanup(spark, tmp_path):
+    """ADVICE r2 (low ×2): a time-travel read of a vacuumed snapshot returns
+    None (not a scan-time FileNotFoundException), and no-op-epoch commit dirs
+    holding only _SUCCESS are reclaimed by vacuum."""
+    import os
+
+    table = LakeTable(str(tmp_path / "ex"), key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    table.merge_lww(
+        spark, spark.createDataFrame([("u1", ts, 1, "c", 0, "v1")], _R3_SCHEMA), epoch_id=0
+    )
+    sid1 = table.current_snapshot()["snapshot_id"]
+    table.merge_lww(
+        spark,
+        spark.createDataFrame(
+            [("u1", ts + dt.timedelta(seconds=5), 2, "u", 0, "v2")], _R3_SCHEMA
+        ),
+        epoch_id=1,
+    )
+    assert table.read(spark, snapshot_id=sid1) is not None  # pre-vacuum: valid
+    table.compact(spark)  # vacuums superseded files
+    assert table.snapshot(sid1) is None
+    assert table.read(spark, snapshot_id=sid1) is None
+
+    # empty append (content-hash-skip epoch): dir must not accumulate
+    empty = spark.createDataFrame([], _R3_SCHEMA)
+    table.merge_lww(spark, empty, epoch_id=7)
+    table.vacuum()
+    for entry in os.listdir(table.data_dir):
+        cdir = os.path.join(table.data_dir, entry)
+        n_parquet = sum(
+            1 for _r, _d, fs in os.walk(cdir) for f in fs if f.endswith(".parquet")
+        )
+        assert n_parquet > 0, f"_SUCCESS-only commit dir survived vacuum: {entry}"
+
+
+def test_snapshot_metadata_stays_bounded(spark, tmp_path):
+    """Manifest split (VERDICT r2 item 6): the snapshot JSON holds manifest
+    references, so its size is O(buckets), not O(total live files)."""
+    import os
+
+    table = LakeTable(str(tmp_path / "mb"), key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    sizes = []
+    for e in range(24):
+        rows = [(f"u{e}", ts + dt.timedelta(seconds=e), e + 1, "c", 0, f"v{e}")]
+        table.merge_lww(spark, spark.createDataFrame(rows, _R3_SCHEMA), epoch_id=e)
+        sizes.append(os.path.getsize(os.path.join(table.meta_dir, "_current.json")))
+    files = sum(len(v) for v in table.bucket_files().values())
+    assert files >= 20
+    # inline file lists grew ~linearly with files; manifest refs stay flat
+    # (the epochs log adds ~20 bytes/epoch — allow that, nothing more)
+    growth = sizes[-1] - sizes[3]
+    assert growth < 30 * (24 - 4), f"snapshot grew {growth}B over 20 epochs: {sizes}"

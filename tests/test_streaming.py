@@ -117,13 +117,13 @@ def test_stream_with_periodic_compaction(spark, tmp_path, testdata_dir):
     assert any("compact" in m.get("phases", {}) for m in pipe.metrics)
     # merge-on-read: epochs since the last compaction each append ≤1 delta
     # file per bucket; compaction bounds the total
-    files_per_bucket = [len(v) for v in pipe.pages.current_snapshot()["buckets"].values()]
+    files_per_bucket = [len(v) for v in pipe.pages.bucket_files().values()]
     assert all(n <= 1 + 2 for n in files_per_bucket)  # ≤ compact_every appends
     # a final compaction folds everything back to one file per bucket and the
     # resolved state is unchanged
     before = {r["url"]: r["text"] for r in pipe.pages.read(spark).collect()}
     pipe.pages.compact(spark)
-    files_per_bucket = [len(v) for v in pipe.pages.current_snapshot()["buckets"].values()]
+    files_per_bucket = [len(v) for v in pipe.pages.bucket_files().values()]
     assert all(n <= 1 for n in files_per_bucket)
     after = {r["url"]: r["text"] for r in pipe.pages.read(spark).collect()}
     assert after == before
