@@ -266,6 +266,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT * FROM env ORDER BY warc_us DESC, pos DESC LIMIT 100
     """,
     "cdc_point_read": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos = 123",
+    # the Spark side answers this through the lake's bloom-pruned read_keys
+    # path; the oracle is the plain fold restricted to the same probed urls
+    # (queries._LAKE_PROBE_UIDS) — identical output proves the pruned
+    # physical read is lossless
+    "cdc_lake_point_read": f"""
+        WITH w AS ({_WINNERS})
+        SELECT url, op AS last_op, warc_us, pos, val_cents FROM w
+        WHERE op <> 'd' AND url IN (
+          'https://site-7.example.com/page/000007',
+          'https://site-23.example.com/page/000023',
+          'https://site-42.example.com/page/000042'
+        )
+    """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
     "cdc_lineage_by_segment": f"""
         WITH env AS ({_ENV})

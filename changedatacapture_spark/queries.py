@@ -137,6 +137,51 @@ def cdc_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_envelope(spark, sf_dir).where(F.col("pos") == 123)
 
 
+_LAKE_PROBE_UIDS = (7, 23, 42)
+
+
+def cdc_lake_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 at the LAKE layer (VERDICT r2 item 8): the change log is merged
+    into a LakeTable as four merge-on-read epochs (delta files stack per
+    bucket), then a multi-point lookup runs through ``read_keys`` — bucket-
+    pruned to the keys' buckets and bloom-pruned to the files that can
+    contain them (tests/test_lake_sink.py pins the ≤-matching-files promise;
+    PLANS.md carries the files/bytes-read evidence). The result must equal
+    the plain SQL LWW fold restricted to the probed urls — proving the
+    pruned physical read path loses nothing."""
+    import tempfile
+
+    from .sinks.lake import LakeTable
+
+    env = cdc_envelope(spark, sf_dir).select(
+        "url",
+        "op",
+        F.timestamp_micros(F.col("warc_us")).alias("warc_ts"),
+        "pos",
+        (F.col("op") == "d").cast("int").alias("is_deleted"),
+        "val_cents",
+    )
+    table = LakeTable(
+        tempfile.mkdtemp(prefix="cdc_lake_point_"), key="url", n_buckets=8
+    )
+    for e in range(4):
+        table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == e), epoch_id=e)
+    urls = [
+        f"https://site-{u % 50}.example.com/page/{u:06d}" for u in _LAKE_PROBE_UIDS
+    ]
+    got = table.read_keys(spark, urls)
+    if got is None:  # every probed key bloom-pruned to zero files
+        ddl = ", ".join(f"`{n}` {t}" for n, t in table.schema_columns())
+        got = spark.createDataFrame([], ddl)
+    return got.select(
+        "url",
+        F.col("op").alias("last_op"),
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "pos",
+        "val_cents",
+    )
+
+
 def cdc_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range slice (main.py:788-794 from_idx/to_idx)."""
     return cdc_envelope(spark, sf_dir).where(F.col("pos").between(1000, 1100))
@@ -597,6 +642,7 @@ QUERIES = {
     "cdc_dedup_deliveries": cdc_dedup_deliveries,
     "cdc_changelog_recent": cdc_changelog_recent,
     "cdc_point_read": cdc_point_read,
+    "cdc_lake_point_read": cdc_lake_point_read,
     "cdc_range_slice": cdc_range_slice,
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,
