@@ -102,6 +102,7 @@ def generate_small(
     late_frac: float = 0.02,
     dup_frac: float = 0.02,
     tombstone_frac: float = 0.01,
+    truncate_frac: float = 0.0,
     evolve_at: float | None = None,
     snapshot_urls: int | None = None,
     testdata_dir: str | None = None,
@@ -162,6 +163,26 @@ def generate_small(
     for i in range(n_events):
         if rng.random() < tombstone_frac:
             rows.append({"op": None, "before": None, "after": None, "source": None, "ts_ms": None})
+            continue
+
+        if truncate_frac and rng.random() < truncate_frac:
+            # TRUNCATE TABLE captured by Debezium: op='t', no row image
+            # (QUICK_START.md:282-288). Emitted in-order (DDL is not subject
+            # to the generator's event-time jitter); the after image carries
+            # only the event time the engine orders by.
+            ts = T0 + dt.timedelta(seconds=1 + i)
+            p = {
+                "url": None,
+                "warc_ts": ts,
+                "html": None,
+                "text": None,
+                "lang": None,
+                "extra": None,
+            }
+            ev = envelope("t", None, p, ts)
+            live.clear()
+            events.append(ev)
+            rows.append(ev)
             continue
 
         if hot_frac > 0 and rng.random() < hot_frac:

@@ -126,4 +126,11 @@ def parse_envelope(df: DataFrame, include_before: bool = False) -> DataFrame:
     ]
     if include_before:
         cols.insert(6, F.col("before"))
-    return filter_tombstones(df).select(*cols).where(F.col("url").isNotNull())
+    # TRUNCATE events (op='t') carry no row image and therefore no url — they
+    # are kept (the driver folds them into the table's truncate horizon);
+    # everything else without a key is hygiene-dropped as before
+    return (
+        filter_tombstones(df)
+        .select(*cols)
+        .where(F.col("url").isNotNull() | (F.col("op") == "t"))
+    )

@@ -196,6 +196,10 @@ def fold_events(events: list[dict[str, Any]]) -> dict[str, dict[str, Any]]:
     - ``c``/``u`` → upsert (overwrite) keyed by url
     - ``d``       → delete (key absent afterwards)
     - ``r``       → insert-if-absent (Debezium snapshot read)
+    - ``t``       → TRUNCATE: clears the whole table state at its position
+      (QUICK_START.md:282-288); later events rebuild it. Assumes the
+      snapshot-first contract (no 'r' sorts after a 't' — Debezium snapshots
+      run before streaming), matching the engine's stream>snapshot order.
 
     Duplicate deliveries of the same ``(file, pos)`` are idempotent: the
     second application overwrites with identical state (c/u/r) or re-deletes
@@ -210,6 +214,9 @@ def fold_events(events: list[dict[str, Any]]) -> dict[str, dict[str, Any]]:
     state: dict[str, dict[str, Any]] = {}
     for ev in sorted(events, key=sort_key):
         op = ev["op"]
+        if op == "t":
+            state.clear()
+            continue
         payload = ev.get("after") or ev.get("before") or {}
         url = payload.get("url")
         if url is None:

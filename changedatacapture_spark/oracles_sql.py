@@ -280,6 +280,22 @@ ORACLE_SQL: dict[str, str] = {
         )
     """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
+    # truncate-then-rebuild: the engine's snapshot horizon (op='t') must
+    # equal the LWW fold over only the events strictly above the horizon
+    "cdc_truncate_state": f"""
+        WITH env AS ({_ENV}),
+        h AS (SELECT warc_us AS h_us, pos AS h_pos FROM env WHERE pos = 500),
+        f AS (
+          SELECT env.* FROM env, h
+          WHERE env.warc_us > h.h_us OR (env.warc_us = h.h_us AND env.pos > h.h_pos)
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+          FROM f
+        )
+        SELECT url, op AS last_op, warc_us, pos, val_cents
+        FROM r WHERE rn = 1 AND op <> 'd'
+    """,
     "cdc_lineage_by_segment": f"""
         WITH env AS ({_ENV})
         SELECT CAST(floor(pos / 1000) AS BIGINT) AS segment,

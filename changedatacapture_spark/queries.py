@@ -182,6 +182,44 @@ def cdc_lake_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate op 't' (QUICK_START.md:282-288) end-to-end through the lake:
+    the log is merged in two epochs with a TRUNCATE horizon at the order key
+    of pos=500 attached to the second; the engine records it as snapshot
+    metadata (O(1), no rewrite) and kills all rows at-or-below it at read
+    time. Must equal the plain SQL fold over only the events ABOVE the
+    horizon — i.e. truncate-then-rebuild semantics."""
+    import tempfile
+
+    from .sinks.lake import LakeTable
+
+    env0 = cdc_envelope(spark, sf_dir)
+    h = env0.where(F.col("pos") == 500).select("warc_us").first()
+    horizon = [1, int(h["warc_us"]), 500]
+    env = env0.select(
+        "url",
+        "op",
+        F.timestamp_micros(F.col("warc_us")).alias("warc_ts"),
+        "pos",
+        (F.col("op") == "d").cast("int").alias("is_deleted"),
+        "val_cents",
+    )
+    table = LakeTable(
+        tempfile.mkdtemp(prefix="cdc_truncate_"), key="url", n_buckets=8
+    )
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(2)) == 0), epoch_id=0)
+    table.merge_lww(
+        spark, env.where(F.pmod("pos", F.lit(2)) == 1), epoch_id=1, truncate=horizon
+    )
+    return table.read(spark).select(
+        "url",
+        F.col("op").alias("last_op"),
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "pos",
+        "val_cents",
+    )
+
+
 def cdc_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: range slice (main.py:788-794 from_idx/to_idx)."""
     return cdc_envelope(spark, sf_dir).where(F.col("pos").between(1000, 1100))
@@ -643,6 +681,7 @@ QUERIES = {
     "cdc_changelog_recent": cdc_changelog_recent,
     "cdc_point_read": cdc_point_read,
     "cdc_lake_point_read": cdc_lake_point_read,
+    "cdc_truncate_state": cdc_truncate_state,
     "cdc_range_slice": cdc_range_slice,
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,

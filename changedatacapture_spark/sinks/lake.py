@@ -90,6 +90,17 @@ from pyspark.sql import functions as F
 from ..operators.lww import _order_key
 
 
+def _truncate_lit(horizon: list) -> F.Column:
+    """The truncate horizon as a literal order-key struct, field-for-field
+    comparable with operators.lww.order_key_cols output."""
+    k0, k1, k2 = horizon
+    return F.struct(
+        F.lit(int(k0)).cast("int").alias("k0"),
+        F.lit(int(k1)).cast("bigint").alias("k1"),
+        F.lit(int(k2)).cast("bigint").alias("k2"),
+    )
+
+
 def _bucket_col(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
@@ -389,8 +400,18 @@ class LakeTable:
         }
         single = [self._abs(e["p"]) for es in pruned.values() if len(es) <= 1 for e in es]
         multi = [self._abs(e["p"]) for es in pruned.values() if len(es) > 1 for e in es]
+        horizon = snap.get("truncate")
 
         def _prep(df: DataFrame) -> DataFrame:
+            if horizon is not None and {"op", "warc_ts", "pos"}.issubset(df.columns):
+                # TRUNCATE op 't' (QUICK_START.md:282-288), merge-on-read
+                # style: the commit only records the horizon order key; every
+                # row at-or-below it is dead at read time (O(1) truncate, no
+                # data rewrite — compaction drops the rows physically).
+                # Snapshot reads (op='r') rank below any stream event, so a
+                # truncate kills them all — consistent with the engine's
+                # stream>snapshot total order (operators/lww.py).
+                df = df.where(_order_key() > _truncate_lit(horizon))
             if probe_keys is not None:
                 df = df.where(F.col(self.key).isin(list(probe_keys)))
             if columns is None:
@@ -573,6 +594,7 @@ class LakeTable:
         full_replace: bool = False,
         extra_meta: dict | None = None,
         keep_files: dict[str, list[dict]] | None = None,
+        truncate: list | None = None,
     ) -> dict:
         """Publish a snapshot. Manifest references of untouched buckets are
         carried over by name (no rewrite); only changed buckets get a new
@@ -619,6 +641,12 @@ class LakeTable:
         if len(epochs) > 1000:
             keep = sorted(epochs, key=int)[-1000:]
             epochs = {k: epochs[k] for k in keep}
+        # the truncate horizon is monotone and persists across compaction:
+        # a late event older than the horizon must still die at read time
+        prev_tr = snap.get("truncate") if snap else None
+        horizon = max(
+            (list(t) for t in (prev_tr, truncate) if t is not None), default=None
+        )
         new_snap = {
             "snapshot_id": sid,
             "parent": parent,
@@ -629,6 +657,8 @@ class LakeTable:
             "resolved": resolved,
             "meta": extra_meta or {},
         }
+        if horizon is not None:
+            new_snap["truncate"] = horizon
         self._publish(new_snap)
         return new_snap
 
@@ -668,6 +698,7 @@ class LakeTable:
         rows: DataFrame,
         epoch_id: int | None,
         pre_reduced: bool,
+        truncate: list | None = None,
     ) -> dict | None:
         if epoch_id is not None and str(epoch_id) in self.committed_epochs():
             return None  # exactly-once: this micro-batch already applied
@@ -684,7 +715,14 @@ class LakeTable:
         snap = self.current_snapshot()
         had_files = bool(snap) and any(snap["buckets"].values())
         # an append onto an empty table is already resolved (≤1 set per key)
-        return self._commit(spark, aligned, epoch_id, append=True, resolved=not had_files)
+        return self._commit(
+            spark,
+            aligned,
+            epoch_id,
+            append=True,
+            resolved=not had_files,
+            truncate=truncate,
+        )
 
     def merge_lww(
         self,
@@ -693,8 +731,15 @@ class LakeTable:
         epoch_id: int | None = None,
         *,
         pre_reduced: bool = False,
+        truncate: list | None = None,
     ) -> dict | None:
         """MERGE the batch's rows into the table under LWW.
+
+        ``truncate``: order-key triple [k0, k1, k2] of a TRUNCATE event
+        (op='t', QUICK_START.md:282-288) observed in this batch — recorded
+        in the snapshot as a horizon; every stored row at-or-below it is
+        dead at read time. O(1) per truncate: no data is read or rewritten
+        (compaction reclaims the dead rows physically).
 
         ``deltas`` has columns (key, op, warc_ts, pos, is_deleted,
         payload...). Rows are reduced to ≤1 per key here unless the caller
@@ -712,7 +757,9 @@ class LakeTable:
         key; ``compact`` folds deltas down. Snapshot isolation + the epoch
         log make it idempotent.
         """
-        return self._append_commit(spark, deltas, epoch_id, pre_reduced=pre_reduced)
+        return self._append_commit(
+            spark, deltas, epoch_id, pre_reduced=pre_reduced, truncate=truncate
+        )
 
     def merge_sets(
         self,
@@ -721,6 +768,7 @@ class LakeTable:
         epoch_id: int | None = None,
         *,
         pre_reduced: bool = False,
+        truncate: list | None = None,
     ) -> dict | None:
         """MERGE per-key row-SETS under LWW (mode='set' tables, e.g. chunks).
 
@@ -732,7 +780,9 @@ class LakeTable:
         of the reference's delete-by-category-then-reinsert chunk update
         (auto_gen_rag.py:174-191): append-only per epoch, no table reads.
         """
-        return self._append_commit(spark, rows, epoch_id, pre_reduced=pre_reduced)
+        return self._append_commit(
+            spark, rows, epoch_id, pre_reduced=pre_reduced, truncate=truncate
+        )
 
     def replace_keys(
         self,

@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 
 
 def partition_lineage(parsed: DataFrame, epoch_id: int) -> DataFrame:
-    """Per input partition: row count and source offset (pos) range."""
+    """Per input partition: row count and source offset (pos) range.
+
+    Also carries the partition's max TRUNCATE order (op='t',
+    QUICK_START.md:282-288) as ``t_max`` — fused here so a rare truncate
+    costs no extra job on the hot path; the driver folds the per-partition
+    maxima and passes the horizon to the lake commit. The micros conversion
+    happens JVM-side (``unix_micros``) so the driver never touches session-
+    timezone-dependent datetimes."""
     return (
         parsed.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
@@ -27,6 +34,15 @@ def partition_lineage(parsed: DataFrame, epoch_id: int) -> DataFrame:
             F.min("pos").alias("min_pos"),
             F.max("pos").alias("max_pos"),
             F.collect_set("src_file").alias("files"),
+            F.max(
+                F.when(
+                    F.col("op") == "t",
+                    F.struct(
+                        F.unix_micros(F.col("warc_ts")).alias("us"),
+                        F.col("pos").alias("pos"),
+                    ),
+                )
+            ).alias("t_max"),
         )
         .select(
             F.lit(epoch_id).cast("long").alias("epoch_id"),
@@ -35,6 +51,7 @@ def partition_lineage(parsed: DataFrame, epoch_id: int) -> DataFrame:
             "min_pos",
             "max_pos",
             "files",
+            "t_max",
         )
     )
 

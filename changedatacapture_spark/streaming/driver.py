@@ -108,6 +108,15 @@ class CdcPipeline:
         rows_in = sum(r["rows_in"] for r in lin_rows)
         if rows_in == 0:
             return
+        # TRUNCATE op 't' (QUICK_START.md:282-288): the lineage pass carries
+        # each partition's max truncate order for free; the fold here is the
+        # batch's horizon, committed as snapshot metadata on both tables —
+        # O(1) per truncate, rows below it die at read time
+        t_orders = [r["t_max"] for r in lin_rows if r["t_max"] is not None]
+        truncate = None
+        if t_orders:
+            us, pos = max((t["us"], t["pos"]) for t in t_orders)
+            truncate = [1, us, pos]  # stream-class order key (op != 'r')
 
         salt = self.salt_buckets
         if salt is None and self.auto_salt:
@@ -121,7 +130,9 @@ class CdcPipeline:
         # BEFORE the transform — fusing ArrowEvalPython onto the sort-
         # aggregate output anti-scales badly at high thread counts (measured
         # 8× at 32 threads); on cached winners the UDF stage scales cleanly
-        winners_raw = apply_ops.upsert_deltas(parsed, salt_buckets=salt)
+        # truncate events carry no key/payload — they act via the horizon
+        data_events = parsed.where(F.col("op") != "t") if truncate else parsed
+        winners_raw = apply_ops.upsert_deltas(data_events, salt_buckets=salt)
         winners_raw.persist()
         # one fused probe job: materializes the cache AND returns the MERGE's
         # touched buckets + newly-observed evolved columns
@@ -168,7 +179,9 @@ class CdcPipeline:
                     probe_keys=probe_keys,
                 )
 
-            snap = self.pages.merge_lww(spark, deltas2, epoch_id=epoch_id, pre_reduced=True)
+            snap = self.pages.merge_lww(
+                spark, deltas2, epoch_id=epoch_id, pre_reduced=True, truncate=truncate
+            )
             mark("merge", tick)
             pages_replayed = snap is None  # pages already committed this epoch
             if pages_replayed and not self.with_chunks:
@@ -182,14 +195,19 @@ class CdcPipeline:
             # reflects post-merge state (hash always equal for won keys), and
             # skipping would permanently lose the crashed chunks epoch.
             if self.with_chunks:
+                # a truncate in the batch disables the content-hash skip:
+                # "unchanged" vs a row the horizon just killed would leave
+                # the page live but its chunk set dead (the stored chunks
+                # predate the horizon) — re-chunk winners unconditionally
                 self._apply_chunks(
                     spark,
                     deltas2,
                     cur,
                     touched,
                     epoch_id,
-                    allow_skip=not pages_replayed,
+                    allow_skip=not pages_replayed and truncate is None,
                     probe_keys=probe_keys,
+                    truncate=truncate,
                 )
                 mark("chunks", tick)
 
@@ -245,6 +263,7 @@ class CdcPipeline:
         epoch_id: int,
         allow_skip: bool,
         probe_keys: list[str] | None = None,
+        truncate: list | None = None,
     ) -> None:
         """Chunk/embed only what the merge outcome requires:
 
@@ -325,7 +344,9 @@ class CdcPipeline:
             rows = emb_chunks.withColumn("is_deleted", F.lit(0)).unionByName(
                 tombs, allowMissingColumns=True
             )
-            self.chunks.merge_sets(spark, rows, epoch_id=epoch_id, pre_reduced=True)
+            self.chunks.merge_sets(
+                spark, rows, epoch_id=epoch_id, pre_reduced=True, truncate=truncate
+            )
         finally:
             changed.unpersist()
             if chunked is not None:
