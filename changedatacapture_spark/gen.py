@@ -105,6 +105,8 @@ def generate_small(
     truncate_frac: float = 0.0,
     evolve_at: float | None = None,
     snapshot_urls: int | None = None,
+    second_table_frac: float = 0.0,
+    second_table: str = "authors",
     testdata_dir: str | None = None,
 ) -> list[dict[str, Any]]:
     """Write ordered parquet binlog segments under ``out_dir``; return the
@@ -117,7 +119,11 @@ def generate_small(
 
     events: list[dict[str, Any]] = []  # for oracle
     rows: list[dict[str, Any]] = []  # for parquet (includes dups/tombstones)
-    live: dict[str, dict[str, Any]] = {}
+    # per-source-table live state: a mixed Debezium feed interleaves several
+    # tables' change events on one stream (topic-per-table fan-in,
+    # auto_gen_rag.py:27,33-70); urls may overlap ACROSS tables — routing
+    # must keep them apart
+    lives: dict[str, dict[str, dict[str, Any]]] = {"pages": {}, second_table: {}}
     pos = 0
 
     def payload(url: str, ts: dt.datetime, version: int, extra: dict | None) -> dict:
@@ -131,7 +137,13 @@ def generate_small(
             "extra": extra,
         }
 
-    def envelope(op: str, before: dict | None, after: dict | None, ts: dt.datetime) -> dict:
+    def envelope(
+        op: str,
+        before: dict | None,
+        after: dict | None,
+        ts: dt.datetime,
+        table: str = "pages",
+    ) -> dict:
         nonlocal pos
         pos += 1
         return {
@@ -140,7 +152,7 @@ def generate_small(
             "after": after,
             "source": {
                 "db": "testdb",
-                "table": "pages",
+                "table": table,
                 "file": f"binlog.{pos // 1000:06d}",
                 "pos": pos,
             },
@@ -154,7 +166,7 @@ def generate_small(
         ts = T0 + dt.timedelta(milliseconds=pos)
         p = payload(url, ts, 0, None)
         ev = envelope("r", None, p, ts)
-        live[url] = p
+        lives["pages"][url] = p
         events.append(ev)
         rows.append(ev)
 
@@ -164,6 +176,13 @@ def generate_small(
         if rng.random() < tombstone_frac:
             rows.append({"op": None, "before": None, "after": None, "source": None, "ts_ms": None})
             continue
+
+        table = (
+            second_table
+            if second_table_frac and rng.random() < second_table_frac
+            else "pages"
+        )
+        live = lives[table]
 
         if truncate_frac and rng.random() < truncate_frac:
             # TRUNCATE TABLE captured by Debezium: op='t', no row image
@@ -179,7 +198,7 @@ def generate_small(
                 "lang": None,
                 "extra": None,
             }
-            ev = envelope("t", None, p, ts)
+            ev = envelope("t", None, p, ts, table)
             live.clear()
             events.append(ev)
             rows.append(ev)
@@ -204,14 +223,14 @@ def generate_small(
         before = live.get(url)
         if before is None:
             p = payload(url, ts, i + 1, extra)
-            ev = envelope("c", None, p, ts)
+            ev = envelope("c", None, p, ts, table)
             live[url] = p
         elif rng.random() < 0.08:
-            ev = envelope("d", dict(before, warc_ts=ts), None, ts)
+            ev = envelope("d", dict(before, warc_ts=ts), None, ts, table)
             live.pop(url, None)
         else:
             p = payload(url, ts, i + 1, extra)
-            ev = envelope("u", before, p, ts)
+            ev = envelope("u", before, p, ts, table)
             live[url] = p
         events.append(ev)
         rows.append(ev)

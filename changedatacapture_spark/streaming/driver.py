@@ -415,28 +415,117 @@ class CdcPipeline:
         available_now: bool = True,
         timeout_sec: float | None = None,
     ):
-        src = envelope.read_segments_stream(spark, segments_dir, max_files=max_files_per_trigger)
-        stream = (
-            src.withColumn(
-                "_event_time", F.coalesce(F.col("after.warc_ts"), F.col("before.warc_ts"))
-            )
-            .withWatermark("_event_time", self.watermark)
-            .drop("_event_time")
+        return run_cdc_stream(
+            spark,
+            segments_dir,
+            checkpoint_dir,
+            self.apply_batch,
+            watermark=self.watermark,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now,
+            timeout_sec=timeout_sec,
         )
-        writer = stream.writeStream.foreachBatch(self.apply_batch).option(
-            "checkpointLocation", checkpoint_dir
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime="5 seconds")
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(timeout_sec)
-        return query
 
     def run_batch(self, spark: SparkSession, segments_dir: str) -> None:
         """Bounded replay without the streaming machinery (EP3 bootstrap —
         identical code path, one epoch)."""
+        df = envelope.read_segments(spark, segments_dir)
+        self.apply_batch(df, epoch_id=0)
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    segments_dir: str,
+    checkpoint_dir: str,
+    apply_fn,
+    *,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = None,
+):
+    """The one StreamingQuery both pipeline shapes share: binlog-segment
+    stream → event-time watermark → foreachBatch(apply_fn)."""
+    src = envelope.read_segments_stream(spark, segments_dir, max_files=max_files_per_trigger)
+    stream = (
+        src.withColumn(
+            "_event_time", F.coalesce(F.col("after.warc_ts"), F.col("before.warc_ts"))
+        )
+        .withWatermark("_event_time", watermark)
+        .drop("_event_time")
+    )
+    writer = stream.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    query = writer.start()
+    if available_now:
+        query.awaitTermination(timeout_sec)
+    return query
+
+
+class MultiTablePipeline:
+    """Route a MIXED Debezium feed (several source tables interleaved on one
+    stream) to per-table :class:`CdcPipeline` instances — the reference's
+    topic-per-table dispatch (create_connector.bat:20-22,
+    auto_gen_rag.py:27,33-70) as ONE StreamingQuery.
+
+    Each configured table gets its own pages/chunks LakeTables (under
+    ``base_dir/<table>/``) and its own epoch log, so exactly-once holds per
+    table even when a crash lands between two tables' commits: the replayed
+    epoch no-ops on the already-committed table and applies on the other.
+    Truncate horizons are per table (a TRUNCATE of ``authors`` never touches
+    ``pages``). Events whose ``source.table`` is not configured are dropped,
+    mirroring the reference's skip of unknown topics.
+
+    Scale note: each table's pipeline runs on ``batch.where(source.table =
+    t)`` — a pushed-down scan predicate — so a T-table mixed feed pays T
+    filtered passes over the batch. Deployments with genuinely separate
+    per-table topics should run one single-table pipeline per topic instead
+    (the reference's layout); this class exists for the fan-in case.
+    """
+
+    def __init__(self, base_dir: str, tables: list[str], **pipeline_kwargs):
+        self.tables = list(tables)
+        self.pipes: dict[str, CdcPipeline] = {
+            t: CdcPipeline(os.path.join(base_dir, t), **pipeline_kwargs)
+            for t in self.tables
+        }
+
+    def __getitem__(self, table: str) -> CdcPipeline:
+        return self.pipes[table]
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        for t, pipe in self.pipes.items():
+            pipe.apply_batch(
+                batch_df.where(F.col("source.table") == F.lit(t)), epoch_id
+            )
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        segments_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+        timeout_sec: float | None = None,
+        watermark: str = "30 minutes",
+    ):
+        return run_cdc_stream(
+            spark,
+            segments_dir,
+            checkpoint_dir,
+            self.apply_batch,
+            watermark=watermark,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now,
+            timeout_sec=timeout_sec,
+        )
+
+    def run_batch(self, spark: SparkSession, segments_dir: str) -> None:
         df = envelope.read_segments(spark, segments_dir)
         self.apply_batch(df, epoch_id=0)
