@@ -162,8 +162,10 @@ class LakeTable:
         *,
         file_stats: bool = True,
         bloom_max_keys: int = 200_000,
+        bucket_source: str = "key_hash",
     ):
         assert mode in ("row", "set", "replace")
+        assert bucket_source in ("key_hash", "column")
         # snapshots record paths relative to the table root, which is
         # absolutized here — a relative root would pin the table to the
         # creating process's CWD
@@ -177,6 +179,13 @@ class LakeTable:
         # huge buckets) get no bloom and are conservatively always read.
         self.file_stats = file_stats
         self.bloom_max_keys = bloom_max_keys
+        # bucket_source="column": rows carry an explicit int ``bucket`` data
+        # column (e.g. an LSH bucket of an embedding) instead of hashing the
+        # key. A key may then MOVE buckets between versions (its vector
+        # moved), so writers add a tombstone in the old bucket and row-mode
+        # resolution breaks the resulting same-order tombstone/insert ties
+        # in favor of the LIVE row (see _resolve).
+        self.bucket_source = bucket_source
         self.meta_dir = os.path.join(self.path, "_meta")
         self.manifest_dir = os.path.join(self.meta_dir, "manifests")
         self.data_dir = os.path.join(self.path, "data")
@@ -336,9 +345,21 @@ class LakeTable:
             return df
         if self.mode == "row":
             non_key = [c for c in df.columns if c != self.key]
+            order = _order_key()
+            if self.bucket_source == "column" and "is_deleted" in df.columns:
+                # a key whose bucket moved carries a tombstone (old bucket)
+                # and an insert (new bucket) at the SAME order key — the live
+                # row must win that tie deterministically or a cross-bucket
+                # fold (full compaction) could drop the live row. Genuine
+                # same-key same-order ties otherwise only come from duplicate
+                # deliveries of identical rows, where either copy is fine.
+                order = F.struct(
+                    order.alias("o"),
+                    (F.lit(1) - F.coalesce(F.col("is_deleted"), F.lit(0))).alias("z"),
+                )
             return (
                 df.groupBy(self.key)
-                .agg(F.max_by(F.struct(*non_key), _order_key()).alias("_w"))
+                .agg(F.max_by(F.struct(*non_key), order).alias("_w"))
                 .select(self.key, "_w.*")
             )
         from pyspark.sql.window import Window
@@ -476,9 +497,21 @@ class LakeTable:
         sub = {str(b): all_entries.get(str(b), []) for b in buckets}
         return self._read_resolved(spark, snap, sub, columns=columns, probe_keys=probe_keys)
 
+    def _bucket_expr(self) -> F.Column:
+        if self.bucket_source == "column":
+            return F.col("bucket").cast("int")
+        return _bucket_col(self.key, self.n_buckets)
+
     def _buckets_of_keys(self, spark: SparkSession, keys: list[str]) -> dict[int, list[str]]:
         """bucket id → keys, via one tiny Spark job (the bucket hash is
-        ``xxhash64``, a JVM function — constant cost, not data-dependent)."""
+        ``xxhash64``, a JVM function — constant cost, not data-dependent).
+        Column-bucketed tables can't derive a key's bucket (it depends on the
+        row's vector), so every bucket is in scope — the per-file key blooms
+        still prune the actual scan."""
+        if self.bucket_source == "column":
+            snap = self.current_snapshot()
+            bs = [int(b) for b in snap["buckets"]] if snap else []
+            return {b: list(keys) for b in bs}
         kdf = spark.createDataFrame([(k,) for k in keys], f"`{self.key}` string")
         rows = kdf.select(
             F.col(self.key), _bucket_col(self.key, self.n_buckets).alias("_b")
@@ -681,7 +714,7 @@ class LakeTable:
                 ).alias("_ks")
             )
         rows = (
-            deltas.groupBy(_bucket_col(self.key, self.n_buckets).alias("_b"))
+            deltas.groupBy(self._bucket_expr().alias("_b"))
             .agg(*aggs)
             .collect()
         )
@@ -702,6 +735,12 @@ class LakeTable:
     ) -> dict | None:
         if epoch_id is not None and str(epoch_id) in self.committed_epochs():
             return None  # exactly-once: this micro-batch already applied
+        if self.bucket_source == "column":
+            # a moved key legitimately writes TWO rows (tombstone in the old
+            # bucket + insert in the new) — reducing them here would drop the
+            # tombstone and leave the stale row alive; writers of column-
+            # bucketed tables construct exactly those rows on purpose
+            pre_reduced = True
         if not pre_reduced:
             # enforce the ≤1-row-set-per-key-per-file invariant the single-
             # file resolution fast path rests on (O(batch) map-side-combined
@@ -710,7 +749,7 @@ class LakeTable:
         merged_schema = self._merged_schema(rows)
         self._current_write_schema = merged_schema
         aligned = _align_to(rows, merged_schema).withColumn(
-            "_bucket", _bucket_col(self.key, self.n_buckets)
+            "_bucket", self._bucket_expr()
         )
         snap = self.current_snapshot()
         had_files = bool(snap) and any(snap["buckets"].values())
@@ -798,6 +837,7 @@ class LakeTable:
         replaced key are read and rewritten; a touched bucket's unrelated
         delta files survive by manifest reference. Copy-on-write by design —
         use ``merge_sets`` on hot streaming paths."""
+        assert self.bucket_source == "key_hash", "replace_keys needs key-derived buckets"
         if epoch_id is not None and str(epoch_id) in self.committed_epochs():
             return None
 
@@ -912,7 +952,7 @@ class LakeTable:
             if df is None:
                 return None
             self._current_write_schema = self.schema_columns()
-            out = df.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+            out = df.withColumn("_bucket", self._bucket_expr())
             new_snap = self._commit(
                 spark,
                 out,
@@ -942,7 +982,7 @@ class LakeTable:
         if n_buckets is not None:
             self.n_buckets = n_buckets
         self._current_write_schema = self.schema_columns()
-        out = df.withColumn("_bucket", _bucket_col(self.key, self.n_buckets))
+        out = df.withColumn("_bucket", self._bucket_expr())
         new_snap = self._commit(
             spark,
             out,

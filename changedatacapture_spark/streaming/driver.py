@@ -61,6 +61,7 @@ class CdcPipeline:
         watermark: str = "30 minutes",
         compact_every: int | None = None,
         key_skip_max: int = 4096,
+        ann_index=None,
     ):
         self.pages = LakeTable(
             os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets, mode="row"
@@ -83,6 +84,10 @@ class CdcPipeline:
         # (above it, the isin literal + driver-side bloom tests would cost
         # more than they save — pruning degrades gracefully to bucket scope)
         self.key_skip_max = key_skip_max
+        # optional functions.vector_index.IncrementalVectorIndex kept fresh
+        # per epoch off the same CDC stream (the reference's per-change
+        # vector-index upserts, main.py:1095-1102) — requires with_embeddings
+        self.ann_index = ann_index
         self.metrics: list[dict] = []
 
     # -- the foreachBatch body -------------------------------------------------
@@ -341,6 +346,14 @@ class CdcPipeline:
             dels = changed.where(F.col("is_deleted") == 1).select("url", *_CHUNK_CARRY)
             tombs = dels.unionByName(no_chunk).withColumn("is_deleted", F.lit(1))
 
+            # keep the ANN index fresh BEFORE the chunks commit: the index's
+            # own epoch log makes the upsert exactly-once, and committing it
+            # first means a crash between the two commits replays into a
+            # chunks table that still holds the PRE-merge state the
+            # tombstone computation needs (index no-ops, chunks applies)
+            if self.ann_index is not None and self.with_embeddings:
+                self._apply_ann_index(spark, changed, emb_chunks, touched, epoch_id, probe_keys)
+
             rows = emb_chunks.withColumn("is_deleted", F.lit(0)).unionByName(
                 tombs, allowMissingColumns=True
             )
@@ -353,6 +366,46 @@ class CdcPipeline:
                 chunked.unpersist()
             if j_emb is not None:
                 j_emb.unpersist()
+
+    def _apply_ann_index(
+        self,
+        spark: SparkSession,
+        changed: DataFrame,
+        emb_chunks: DataFrame,
+        touched: list[int],
+        epoch_id: int,
+        probe_keys: list[str] | None,
+    ) -> None:
+        """One index epoch: the changed urls' new vectors upsert into their
+        LSH buckets; their PREVIOUS chunks (read from the pre-merge chunks
+        table, bloom-pruned to the batch's urls) tombstone wherever they
+        moved buckets or disappeared — including full url deletes. O(changed
+        vectors) writes, no index reads (incremental_pinecone_updater.py
+        update/delete routing, merge-on-read)."""
+        replaced = None
+        if self.ann_index.dim is not None:
+            # an index that has never stored a vector has no stale rows
+            old = self.chunks.read_bucket_winners(
+                spark,
+                touched,
+                columns=["chunk_id", "embedding", "is_deleted"],
+                probe_keys=probe_keys,
+            )
+            if old is not None and {"chunk_id", "embedding"}.issubset(old.columns):
+                o = old.where(
+                    (F.coalesce(F.col("is_deleted"), F.lit(0)) == 0)
+                    & F.col("embedding").isNotNull()
+                ).select("url", "chunk_id", F.col("embedding").alias("_old_emb"))
+                orders = changed.select("url", "op", "warc_ts", "pos")
+                replaced = (
+                    o.join(orders, "url")
+                    .withColumn("bucket", self.ann_index.bucket_of("_old_emb"))
+                    .select("chunk_id", "url", "op", "warc_ts", "pos", "bucket")
+                )
+        new_vecs = emb_chunks.select(
+            "chunk_id", "url", "op", "warc_ts", "pos", "embedding"
+        )
+        self.ann_index.upsert(spark, new_vecs, replaced, epoch_id=epoch_id)
 
     def _embed_with_reuse(
         self,
