@@ -127,3 +127,22 @@ def test_stream_with_periodic_compaction(spark, tmp_path, testdata_dir):
     assert all(n <= 1 for n in files_per_bucket)
     after = {r["url"]: r["text"] for r in pipe.pages.read(spark).collect()}
     assert after == before
+
+
+def test_auto_compaction_bounds_delta_stacks(spark, tmp_path, testdata_dir):
+    """compact_min_files (read-cost-keyed auto-compaction): delta stacks are
+    bounded by construction — no bucket ends deeper than the threshold, and
+    the folded state still equals the oracle."""
+    from changedatacapture_spark.streaming.driver import CdcPipeline
+
+    seg_dir = str(tmp_path / "log")
+    events = gen.generate_small(
+        seg_dir, n_urls=30, n_events=240, seed=19, n_segments=8, testdata_dir=testdata_dir
+    )
+    pipe = CdcPipeline(str(tmp_path / "lake"), n_buckets=4, compact_min_files=3)
+    pipe.run_stream(
+        spark, seg_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1, timeout_sec=300
+    )
+    assert pipe.pages.max_files_per_bucket() <= 3
+    assert pipe.chunks.max_files_per_bucket() <= 3
+    _check_final(spark, pipe, events)
