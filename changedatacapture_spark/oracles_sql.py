@@ -248,6 +248,55 @@ def _lsh_topk_sql(dim: int = 64, n_planes: int = 8) -> str:
     """
 
 
+def _incr_ann_sql(dim: int = 64, n_planes: int = 4, n_updates: int = 10) -> str:
+    """DuckDB twin of queries.ann_incremental_topk: the POST-update corpus
+    (vec_ids < n_updates negated — exactly the CDC epoch the engine applied
+    to its incremental index) restricted to the ORIGINAL query vector's LSH
+    bucket, exact-cosine top-10. The engine's merge-on-read index must
+    deliver this with no rebuild: a stale pre-update vector surviving in the
+    probed bucket would surface as a cos=1.0 self-match and hash-mismatch."""
+    from .functions.similarity import _projection_matrix
+
+    planes = _projection_matrix(dim, n_planes)
+
+    def arr(row) -> str:
+        return "CAST([" + ", ".join(repr(float(x)) for x in row) + "] AS DOUBLE[])"
+
+    def bucket_of(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {arr(planes[p])}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    return f"""
+        WITH cur AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id < {n_updates}
+                      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                      ELSE CAST(embedding AS DOUBLE[]) END AS e
+          FROM embeddings
+        ),
+        q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        qq AS (
+          SELECT qe, sqrt(list_dot_product(qe, qe)) AS qn,
+                 {bucket_of('qe')} AS qbucket
+          FROM q
+        ),
+        b AS (SELECT vec_id, e, {bucket_of('e')} AS bucket FROM cur)
+        SELECT CAST(vec_id AS VARCHAR) AS chunk_id,
+               CAST(round(list_dot_product(e, qq.qe)
+                          / (sqrt(list_dot_product(e, e)) * qq.qn) * 1000000)
+                    AS BIGINT) AS cos_micro
+        FROM b, qq
+        WHERE b.bucket = qq.qbucket
+        ORDER BY cos_micro DESC, chunk_id ASC
+        LIMIT 10
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "cdc_envelope": _ENV,
     "cdc_lww_winners": _WINNERS,
@@ -490,6 +539,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM votes
     """,
     "ann_lsh_topk": _lsh_topk_sql(),
+    "ann_incremental_topk": _incr_ann_sql(),
     "ann_cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -556,6 +556,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_fn.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), q, k=10)
 
 
+def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index freshness as a HASH-VERIFIED gate row: the
+    corpus bulk-loads into the LSH-bucketed index, then one CDC epoch
+    UPDATES vec_ids 0..9 (vector := -vector, a deterministic SQL-expressible
+    edit) with tombstones for their moved buckets. Searching near the
+    ORIGINAL vec 0 must equal the DuckDB fold over the POST-update corpus
+    restricted to the query's bucket — the stale pre-update vector (an exact
+    cos=1.0 match) surviving anywhere probed would hash-mismatch."""
+    import tempfile
+
+    from .functions.vector_index import IncrementalVectorIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = IncrementalVectorIndex(
+        tempfile.mkdtemp(prefix="cdc_incr_ann_"), n_planes=4
+    )
+    idx.build(spark, emb, id_col="vec_id", epoch_id=0)
+
+    upd = emb.where(F.col("vec_id") < 10)
+    order = [
+        F.lit("u").alias("op"),
+        F.timestamp_micros(F.lit(1_000_000)).alias("warc_ts"),
+        (F.col("vec_id") + 1).cast("long").alias("pos"),
+    ]
+    new_vecs = upd.select(
+        F.col("vec_id").cast("string").alias("chunk_id"),
+        F.col("vec_id").cast("string").alias("url"),
+        *order,
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    replaced = upd.select(
+        F.col("vec_id").cast("string").alias("chunk_id"),
+        F.col("vec_id").cast("string").alias("url"),
+        *order,
+        idx.bucket_of("embedding").alias("bucket"),
+    )
+    idx.upsert(spark, new_vecs, replaced, epoch_id=1)
+
+    q = _query_vector(spark, sf_dir)
+    return idx.search(spark, q, k=10, n_probes=1)
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: the embedding stage (deterministic Philox stub) — rows-only
     oracle (the stub itself is not SQL-expressible). The gate row is a
@@ -706,6 +748,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_incremental_topk": ann_incremental_topk,
     "embed_documents": embed_documents,
     "filter_limit": filter_limit,
     "lookup_join": lookup_join,
