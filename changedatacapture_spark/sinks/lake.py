@@ -995,6 +995,42 @@ class LakeTable:
         self.vacuum()
         return new_snap
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Iceberg expire-snapshots twin: drop historical ``snap-*.json``
+        older than the newest ``keep_last`` plus every manifest no longer
+        referenced by a surviving snapshot. Superseded DATA files are
+        vacuum's job; this bounds the _meta directory over a 10^6-epoch run
+        (one snapshot json per commit, one manifest per touched bucket per
+        commit would otherwise accumulate forever). Expired ids time-travel
+        as None afterwards. Returns metadata files removed."""
+        ids = self.snapshot_ids()
+        keep = set(ids[-keep_last:]) if keep_last > 0 else set()
+        cur = self.current_snapshot()
+        if cur is not None:
+            keep.add(cur["snapshot_id"])
+        removed = 0
+        for sid in ids:
+            if sid in keep:
+                continue
+            os.remove(os.path.join(self.meta_dir, f"snap-{sid:012d}.json"))
+            removed += 1
+        live_refs: set[str] = set()
+        for sid in keep:
+            p = os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                snap = json.load(f)
+            for ref in snap["buckets"].values():
+                if isinstance(ref, str):
+                    live_refs.add(ref)
+        for fn in list(os.listdir(self.manifest_dir)):
+            if fn.endswith(".json") and fn not in live_refs:
+                os.remove(os.path.join(self.manifest_dir, fn))
+                self._manifest_cache.pop(fn, None)
+                removed += 1
+        return removed
+
     def vacuum(self) -> int:
         """Delete data files unreferenced by the current snapshot (crash
         leftovers / superseded buckets) and commit dirs left holding no

@@ -426,3 +426,35 @@ def test_snapshot_metadata_stays_bounded(spark, tmp_path):
     # (the epochs log adds ~20 bytes/epoch — allow that, nothing more)
     growth = sizes[-1] - sizes[3]
     assert growth < 30 * (24 - 4), f"snapshot grew {growth}B over 20 epochs: {sizes}"
+
+
+def test_expire_snapshots_bounds_metadata(spark, tmp_path):
+    """expire_snapshots reclaims old snap-*.json and unreferenced manifests
+    while the current table (and the kept tail) stays readable — bounds
+    _meta over a long-running stream."""
+    import os
+
+    table = LakeTable(str(tmp_path / "es"), key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    for e in range(20):
+        rows = [(f"u{e}", ts + dt.timedelta(seconds=e), e + 1, "c", 0, f"v{e}")]
+        table.merge_lww(spark, spark.createDataFrame(rows, _R3_SCHEMA), epoch_id=e)
+
+    n_manifests_before = len(os.listdir(table.manifest_dir))
+    removed = table.expire_snapshots(keep_last=3)
+    assert removed > 0
+    assert len(table.snapshot_ids()) == 3
+    assert len(os.listdir(table.manifest_dir)) < n_manifests_before
+    # current view intact, kept tail time-travels, expired ids read None
+    assert table.read(spark).count() == 20
+    ids = table.snapshot_ids()
+    assert table.read(spark, snapshot_id=ids[0]) is not None
+    assert table.read(spark, snapshot_id=ids[0] - 5) is None
+    # a later commit + expire keeps working
+    table.merge_lww(
+        spark,
+        spark.createDataFrame([("zz", ts, 999, "c", 0, "z")], _R3_SCHEMA),
+        epoch_id=20,
+    )
+    table.expire_snapshots(keep_last=2)
+    assert table.read(spark).count() == 21
