@@ -166,6 +166,22 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
             extras["events_per_sec"] = round(n_events / timings["cdc_replay"], 1)
             extras["replay_events"] = n_events
 
+        # -- bloom-pruned point read on the replayed lake ---------------------
+        # a 1-url lookup through read_keys: bucket pruning + per-file key
+        # blooms cut the scan to O(matching files) (PLANS.md round-3 table)
+        def point_read():
+            url = "https://site-0.example.com/page/000000"
+            got = pipe.pages.read_keys(spark, [url])
+            if got is not None:
+                got.collect()
+            extras["point_probe_files"] = len(pipe.pages.files_for_keys(spark, [url]))
+            extras["point_total_files"] = sum(
+                len(v) for v in pipe.pages.bucket_files().values()
+            )
+
+        if "cdc_replay" in timings:
+            timed("lake_point_read", point_read)
+
         # -- steady-state multi-epoch streaming tail --------------------------
         # the continuous-CDC shape AND the full product path of the reference
         # (EP1: change event → re-chunk → re-embed → upsert pages+chunks):
