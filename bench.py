@@ -170,17 +170,20 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
         # a 1-url lookup through read_keys: bucket pruning + per-file key
         # blooms cut the scan to O(matching files) (PLANS.md round-3 table)
         def point_read():
-            url = "https://site-0.example.com/page/000000"
-            got = pipe.pages.read_keys(spark, [url])
+            got = pipe.pages.read_keys(spark, ["https://site-0.example.com/page/000000"])
             if got is not None:
                 got.collect()
-            extras["point_probe_files"] = len(pipe.pages.files_for_keys(spark, [url]))
-            extras["point_total_files"] = sum(
-                len(v) for v in pipe.pages.bucket_files().values()
-            )
 
         if "cdc_replay" in timings:
             timed("lake_point_read", point_read)
+            if "lake_point_read" in timings:
+                # evidence collection OUTSIDE the timed window (it runs its
+                # own Spark job + manifest walk)
+                url = "https://site-0.example.com/page/000000"
+                extras["point_probe_files"] = len(pipe.pages.files_for_keys(spark, [url]))
+                extras["point_total_files"] = sum(
+                    len(v) for v in pipe.pages.bucket_files().values()
+                )
 
         # -- steady-state multi-epoch streaming tail --------------------------
         # the continuous-CDC shape AND the full product path of the reference

@@ -109,8 +109,14 @@ class IncrementalVectorIndex:
         new_vecs: DataFrame,
         replaced: DataFrame | None = None,
         epoch_id: int | None = None,
+        truncate: list | None = None,
     ):
         """Apply one CDC epoch to the index.
+
+        ``truncate``: a TRUNCATE horizon observed in this epoch — recorded
+        on the index table like on the data lakes, so vectors of urls the
+        batch never mentions die at probe time too (index rows carry the
+        same op/warc_ts/pos order columns the horizon filter needs).
 
         ``new_vecs``: the changed urls' CURRENT chunk vectors —
         (chunk_id, url, op, warc_ts, pos, embedding), ≤1 row per chunk_id.
@@ -123,7 +129,11 @@ class IncrementalVectorIndex:
         index data is read or rewritten.
         """
         if not self._ensure_dim(new_vecs, "embedding"):
-            return None  # empty epoch on an empty index — no stale rows exist
+            # dim still unknown ⇒ the index has never stored a vector, so
+            # there is nothing a horizon could kill either — skip entirely
+            # (with dim known, an empty epoch still commits and records the
+            # horizon through the normal path below)
+            return None
         new = (
             new_vecs.withColumn("bucket", self.bucket_of("embedding"))
             .withColumn("is_deleted", F.lit(0))
@@ -148,7 +158,9 @@ class IncrementalVectorIndex:
             rows = new.unionByName(tombs, allowMissingColumns=True)
         # pre-reduced by construction: one row per (chunk_id, bucket); a
         # moved id's tombstone+insert pair is intentional (different buckets)
-        return self.table.merge_lww(spark, rows, epoch_id=epoch_id, pre_reduced=True)
+        return self.table.merge_lww(
+            spark, rows, epoch_id=epoch_id, pre_reduced=True, truncate=truncate
+        )
 
     def build(
         self,

@@ -584,11 +584,18 @@ class LakeTable:
             return {"p": rel, "rows": None, "bloom": None}
         import pyarrow.parquet as pq
 
-        t = pq.read_table(abs_path, columns=[self.key])
-        n = t.num_rows
+        # row count from the footer — the key column is only materialized
+        # when a bloom will actually be built (a post-compaction base file
+        # over bloom_max_keys would otherwise pull its whole key column into
+        # driver memory for nothing)
+        n = pq.ParquetFile(abs_path).metadata.num_rows
         bloom = None
         if 0 < n <= self.bloom_max_keys:
-            keys = [k for k in t.column(0).to_pylist() if k is not None]
+            keys = [
+                k
+                for k in pq.read_table(abs_path, columns=[self.key]).column(0).to_pylist()
+                if k is not None
+            ]
             bloom = _bloom_build(keys)
         return {"p": rel, "rows": n, "bloom": bloom}
 
@@ -693,6 +700,13 @@ class LakeTable:
         if horizon is not None:
             new_snap["truncate"] = horizon
         self._publish(new_snap)
+        # evict superseded manifests from the in-memory cache: over 10^5
+        # epochs every commit adds O(touched buckets) entries and the
+        # superseded ones would otherwise accumulate into a driver leak
+        live_refs = {r for r in refs.values() if isinstance(r, str)}
+        self._manifest_cache = {
+            k: v for k, v in self._manifest_cache.items() if k in live_refs
+        }
         return new_snap
 
     def _entries_of_ref(self, ref) -> list[dict]:
@@ -847,14 +861,17 @@ class LakeTable:
         keys_b = keys.select(F.col(self.key)).distinct().withColumn(
             "_bucket", _bucket_col(self.key, self.n_buckets)
         )
-        collected = keys_b.collect()
-        touched = sorted({r["_bucket"] for r in collected})
-        key_list = [r[self.key] for r in collected]
-        # file-scoped rewrite only pays while the key set is small enough to
-        # bloom-test driver-side; past the cap fall back to whole-bucket scope
-        probe_hashes = (
-            [_bloom_hashes(k) for k in key_list] if len(key_list) <= 100_000 else None
-        )
+        # one O(n_buckets) job for (touched buckets, key count); the key
+        # VALUES are only brought to the driver when the set is small enough
+        # to bloom-test there — past the cap the rewrite falls back to
+        # whole-bucket scope instead of collecting millions of strings
+        per_bucket = keys_b.groupBy("_bucket").count().collect()
+        touched = sorted(r["_bucket"] for r in per_bucket)
+        n_keys = sum(r["count"] for r in per_bucket)
+        probe_hashes = None
+        if 0 < n_keys <= 100_000:
+            key_list = [r[self.key] for r in keys_b.select(self.key).collect()]
+            probe_hashes = [_bloom_hashes(k) for k in key_list]
 
         snap = self.current_snapshot()
         rewrite: dict[str, list[dict]] = {}

@@ -181,7 +181,9 @@ class CdcPipeline:
             # small batches the batch's key list bloom-prunes the file list
             # down to the files that can contain those keys.
             probe_keys = None
-            if rows_in <= self.key_skip_max:
+            if self.with_chunks and rows_in <= self.key_skip_max:
+                # only the chunks/index paths consume probe_keys — a pages-
+                # only pipeline must not pay this extra per-epoch job
                 probe_keys = [r["url"] for r in winners_raw.select("url").collect()]
             cur = None
             if self.with_chunks:
@@ -369,7 +371,9 @@ class CdcPipeline:
             # chunks table that still holds the PRE-merge state the
             # tombstone computation needs (index no-ops, chunks applies)
             if self.ann_index is not None and self.with_embeddings:
-                self._apply_ann_index(spark, changed, emb_chunks, touched, epoch_id, probe_keys)
+                self._apply_ann_index(
+                    spark, changed, emb_chunks, touched, epoch_id, probe_keys, truncate
+                )
 
             rows = emb_chunks.withColumn("is_deleted", F.lit(0)).unionByName(
                 tombs, allowMissingColumns=True
@@ -392,6 +396,7 @@ class CdcPipeline:
         touched: list[int],
         epoch_id: int,
         probe_keys: list[str] | None,
+        truncate: list | None = None,
     ) -> None:
         """One index epoch: the changed urls' new vectors upsert into their
         LSH buckets; their PREVIOUS chunks (read from the pre-merge chunks
@@ -422,7 +427,11 @@ class CdcPipeline:
         new_vecs = emb_chunks.select(
             "chunk_id", "url", "op", "warc_ts", "pos", "embedding"
         )
-        self.ann_index.upsert(spark, new_vecs, replaced, epoch_id=epoch_id)
+        # the truncate horizon must reach the index too: vectors of urls NOT
+        # in this batch die by horizon, exactly like their chunks-table rows
+        self.ann_index.upsert(
+            spark, new_vecs, replaced, epoch_id=epoch_id, truncate=truncate
+        )
 
     def _embed_with_reuse(
         self,

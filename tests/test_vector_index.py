@@ -176,3 +176,52 @@ def test_incremental_index_neardup_recall_sf01(spark, tmp_path):
         hit += int(bool(got) and got[0]["chunk_id"] == str(ids[qi]))
         tot += 1
     assert hit / tot >= 0.9, f"incremental near-dup recall {hit / tot:.2f}"
+
+
+def test_truncate_reaches_the_index(spark, tmp_path, testdata_dir):
+    """Code-review r3 fix: a TRUNCATE horizon must kill index vectors of
+    urls the batch never mentions — unit (upsert(truncate=)) and end-to-end
+    (pipeline with truncates keeps index ≡ chunks live set)."""
+    # unit: u1 stored, truncate arrives with only u2's new vector
+    idx = IncrementalVectorIndex(str(tmp_path / "ixu"), n_planes=3, dim=4)
+    e1, e2 = [1.0, 0.2, -0.3, 0.5], [0.1, 1.0, 0.4, -0.2]
+
+    def rows(*rs):
+        return spark.createDataFrame(list(rs), _ROWS_DDL)
+
+    idx.upsert(spark, rows(("u1_chunk_0", "u1", "c", TS, 1, e1)), epoch_id=0)
+    horizon = [1, 1704067205000000, 5]  # 2024-01-01T00:00:05Z as epoch-us
+    idx.upsert(
+        spark,
+        rows(("u2_chunk_0", "u2", "c", dt.datetime(2024, 1, 1, 0, 0, 6), 6, e2)),
+        epoch_id=1,
+        truncate=horizon,
+    )
+    live = {r["chunk_id"] for r in idx.live_rows(spark).collect()}
+    assert live == {"u2_chunk_0"}, f"pre-truncate vector survived: {live}"
+
+    # end-to-end: stream with truncates, index must track the chunks table
+    seg_dir = str(tmp_path / "log")
+    gen.generate_small(
+        seg_dir,
+        n_urls=20,
+        n_events=140,
+        seed=47,
+        truncate_frac=0.03,
+        n_segments=4,
+        testdata_dir=testdata_dir,
+    )
+    idx2 = IncrementalVectorIndex(str(tmp_path / "ix2"), n_planes=4)
+    pipe = CdcPipeline(
+        str(tmp_path / "lake"), n_buckets=4, with_embeddings=True, ann_index=idx2
+    )
+    pipe.run_stream(
+        spark, seg_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1, timeout_sec=300
+    )
+    exp = {r["chunk_id"] for r in pipe.chunks.read(spark)
+           .where(F.col("embedding").isNotNull()).collect()}
+    got = {r["chunk_id"] for r in idx2.live_rows(spark).collect()}
+    assert got == exp, (
+        f"index diverged under truncate: only-in-index={got - exp} "
+        f"only-in-chunks={exp - got}"
+    )
