@@ -61,6 +61,7 @@ class CdcPipeline:
         watermark: str = "30 minutes",
         compact_every: int | None = None,
         compact_min_files: int | None = None,
+        expire_keep: int | None = None,
         key_skip_max: int = 4096,
         ann_index=None,
     ):
@@ -86,6 +87,10 @@ class CdcPipeline:
         # over cached manifests; compact(min_files=K) rewrites hot buckets
         # only (O(hot data)).
         self.compact_min_files = compact_min_files
+        # after each compaction pass, keep only the newest N snapshots per
+        # table (expire_snapshots) — bounds _meta over long streams; None =
+        # keep full time-travel history
+        self.expire_keep = expire_keep
         # file-level key skipping: batches with ≤ this many keys collect the
         # key list once and bloom-prune the pre-MERGE probe and the
         # embedding-reuse pre-read down to the files that can contain them
@@ -251,6 +256,9 @@ class CdcPipeline:
                 self.pages.compact(spark)
                 if self.with_chunks:
                     self.chunks.compact(spark)
+                if self.ann_index is not None:
+                    self.ann_index.compact(spark)
+                self._maybe_expire()
                 mark("compact", tick)
             elif self.compact_min_files:
                 did = self.pages.compact(spark, min_files=self.compact_min_files)
@@ -259,7 +267,13 @@ class CdcPipeline:
                         self.chunks.compact(spark, min_files=self.compact_min_files)
                         or did
                     )
+                if self.ann_index is not None:
+                    did = (
+                        self.ann_index.compact(spark, min_files=self.compact_min_files)
+                        or did
+                    )
                 if did is not None:
+                    self._maybe_expire()
                     mark("compact", tick)
 
             self.metrics.append(
@@ -275,6 +289,15 @@ class CdcPipeline:
         finally:
             deltas.unpersist()
             winners_raw.unpersist()
+
+    def _maybe_expire(self) -> None:
+        if not self.expire_keep:
+            return
+        self.pages.expire_snapshots(keep_last=self.expire_keep)
+        if self.with_chunks:
+            self.chunks.expire_snapshots(keep_last=self.expire_keep)
+        if self.ann_index is not None:
+            self.ann_index.table.expire_snapshots(keep_last=self.expire_keep)
 
     # -- derived chunks ---------------------------------------------------------
 

@@ -79,3 +79,88 @@ def test_random_op_sequences_fold_like_oracle(spark, log_spec):
     for url, exp in expected.items():
         assert got[url]["text"] == exp["text"], (url, got[url], exp, events)
         assert got[url]["warc_ts"] == exp["warc_ts"]
+
+
+# --- truncate property: random logs with mid-stream TRUNCATEs, applied as
+# multi-epoch lake merges with the horizon plumbing, must equal the
+# sequential oracle fold (t clears state at its (warc_ts, pos) position) ---
+
+_trunc_log = st.tuples(
+    _log,
+    st.lists(st.integers(0, 500), min_size=1, max_size=2),  # truncate ts offsets
+    st.integers(1, 3),  # number of epochs
+)
+
+
+def _build_events_with_truncates(log_spec, t_offsets):
+    events = _build_events(log_spec)
+    pos = max(e["source"]["pos"] for e in events)
+    for off in t_offsets:
+        pos += 1
+        ts = T0 + dt.timedelta(seconds=1 + off)
+        events.append(
+            {
+                "op": "t",
+                "before": None,
+                "after": {"url": None, "warc_ts": ts, "html": None,
+                          "text": None, "lang": "en", "extra": None},
+                "source": {"db": "d", "table": "t", "file": "f", "pos": pos},
+                "ts_ms": 0,
+            }
+        )
+    return events
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_trunc_log)
+def test_truncate_fold_property(spark, tmp_path_factory, spec):
+    log_spec, t_offsets, n_epochs = spec
+    events = _build_events_with_truncates(log_spec, t_offsets)
+    expected = oracle.fold_events(events)
+
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators import envelope as env_ops
+    from changedatacapture_spark.sinks.lake import LakeTable
+
+    table = LakeTable(str(tmp_path_factory.mktemp("tp") / "t"), key="url", n_buckets=2)
+    # a 't' envelope has no url — createDataFrame enforces nullability that
+    # the parquet wire format does not; relax it for the in-memory feed
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    def _all_nullable(node):
+        if isinstance(node, dict):
+            return {
+                k: (True if k == "nullable" else _all_nullable(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [_all_nullable(x) for x in node]
+        return node
+
+    nullable = StructType.fromJson(_all_nullable(_json.loads(ENVELOPE_SCHEMA.json())))
+    df = spark.createDataFrame(events, nullable)
+    parsed = env_ops.parse_envelope(df)
+    for e in range(n_epochs):
+        ep = parsed.where(F.pmod(F.col("pos"), F.lit(n_epochs)) == e)
+        t_row = (
+            ep.where(F.col("op") == "t")
+            .agg(F.max(F.struct(F.unix_micros("warc_ts").alias("us"),
+                                F.col("pos").alias("pos"))).alias("m"))
+            .first()["m"]
+        )
+        truncate = [1, t_row["us"], t_row["pos"]] if t_row is not None else None
+        deltas = apply_ops.upsert_deltas(ep.where(F.col("op") != "t"))
+        table.merge_lww(spark, deltas, epoch_id=e, pre_reduced=True, truncate=truncate)
+
+    got_df = table.read(spark)
+    got = {} if got_df is None else {r["url"]: r.asDict() for r in got_df.collect()}
+    assert set(got) == set(expected), (set(got) ^ set(expected), events)
+    for url, exp in expected.items():
+        assert got[url]["text"] == exp["text"], (url, got[url], exp)
