@@ -43,32 +43,66 @@ from . import similarity
 
 
 class IncrementalVectorIndex:
-    """A continuously-fresh LSH-bucketed vector index (key = ``chunk_id``).
+    """A continuously-fresh bucketed vector index (key = ``chunk_id``) with
+    two interchangeable bucketing families — the same pair the one-shot
+    layouts offer (similarity.write_bucketed / write_ivf):
+
+    - **LSH** (default): bucket = sign-random-projection of the embedding
+      (similarity.bucket_expr, a JVM fold) — deterministic from
+      (dim, n_planes), no state to ship.
+    - **IVF** (pass ``centroids``): bucket = nearest k-means cell
+      (similarity._assign_cells_udf, Arrow-batched) — data-adaptive cells
+      for clustered corpora; the centroids are pinned in the index meta so
+      reopening is layout-stable (retraining = a new index + bulk rebuild,
+      exactly like Iceberg rebucketing).
 
     Row shape: (chunk_id, url, op, warc_ts, pos, is_deleted, bucket,
-    embedding). ``bucket`` is the sign-random-projection bucket of the
-    embedding (similarity.bucket_expr) — deterministic from (dim, n_planes),
-    so no plane state needs shipping; (dim, n_planes) are pinned in a meta
-    file and validated on reopen.
+    embedding).
     """
 
-    def __init__(self, path: str, *, n_planes: int = 8, dim: int | None = None):
+    def __init__(
+        self,
+        path: str,
+        *,
+        n_planes: int = 8,
+        dim: int | None = None,
+        centroids=None,
+    ):
+        import numpy as np
+
         self.path = os.path.abspath(path)
         self.n_planes = n_planes
+        self.centroids = (
+            np.asarray(centroids, dtype=np.float64) if centroids is not None else None
+        )
+        if self.centroids is not None:
+            dim = int(self.centroids.shape[1])
         self.dim = dim
         os.makedirs(self.path, exist_ok=True)
         self._meta_path = os.path.join(self.path, "index-meta.json")
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 meta = json.load(f)
-            assert meta["n_planes"] == n_planes, "n_planes is physical layout"
-            if dim is not None:
-                assert meta["dim"] == dim, "embedding dim is physical layout"
-            self.dim = meta["dim"]
+            if meta.get("mode", "lsh") == "ivf":
+                stored = np.asarray(meta["centroids"], dtype=np.float64)
+                if self.centroids is not None:
+                    assert self.centroids.shape == stored.shape and np.array_equal(
+                        self.centroids, stored
+                    ), "centroids are physical layout — rebucket via a new index"
+                self.centroids = stored
+                self.dim = int(stored.shape[1])
+            else:
+                assert self.centroids is None, "existing index is LSH-bucketed"
+                assert meta["n_planes"] == n_planes, "n_planes is physical layout"
+                if dim is not None:
+                    assert meta["dim"] == dim, "embedding dim is physical layout"
+                self.dim = meta["dim"]
+        self.mode = "ivf" if self.centroids is not None else "lsh"
+        n_buckets = len(self.centroids) if self.mode == "ivf" else 2**n_planes
         self.table = LakeTable(
             os.path.join(self.path, "rows"),
             key="chunk_id",
-            n_buckets=2**n_planes,
+            n_buckets=n_buckets,
             mode="row",
             bucket_source="column",
         )
@@ -88,8 +122,13 @@ class IncrementalVectorIndex:
                 return False
             self.dim = int(row["d"])
         if not os.path.exists(self._meta_path):
+            meta = {"mode": self.mode, "dim": self.dim}
+            if self.mode == "ivf":
+                meta["centroids"] = [[float(x) for x in c] for c in self.centroids]
+            else:
+                meta["n_planes"] = self.n_planes
             with open(self._meta_path, "w") as f:
-                json.dump({"n_planes": self.n_planes, "dim": self.dim}, f)
+                json.dump(meta, f)
         return True
 
     def _planes(self):
@@ -97,8 +136,11 @@ class IncrementalVectorIndex:
         return similarity._projection_matrix(self.dim, self.n_planes)
 
     def bucket_of(self, vec_col: str) -> F.Column:
-        """LSH bucket of an embedding column — the JVM fold expression
-        (whole-stage codegen, no UDF)."""
+        """Bucket of an embedding column: LSH = JVM fold expression
+        (whole-stage codegen, no UDF); IVF = Arrow-batched nearest-centroid
+        assignment (the legitimate pandas-UDF case, similarity.py)."""
+        if self.mode == "ivf":
+            return similarity._assign_cells_udf(self.centroids)(F.col(vec_col))
         return similarity.bucket_expr(vec_col, self._planes())
 
     # -- write ----------------------------------------------------------------
@@ -199,8 +241,16 @@ class IncrementalVectorIndex:
     ) -> DataFrame | None:
         """Multi-probe ANN: read ONLY the probe buckets' files, resolve LWW
         (stale/deleted vectors drop), exact cosine rank inside the
-        candidates. Freshness = the last committed epoch, no rebuild."""
-        probes = similarity.probe_buckets(query, self._planes(), n_probes)
+        candidates. Freshness = the last committed epoch, no rebuild.
+        Probe order: LSH = margin-ordered bit flips; IVF = nearest cells."""
+        if self.mode == "ivf":
+            import numpy as np
+
+            q = np.asarray(query, dtype=np.float64)
+            d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+            probes = [int(c) for c in np.argsort(d2)[:n_probes]]
+        else:
+            probes = similarity.probe_buckets(query, self._planes(), n_probes)
         cand = self.table.read_bucket_winners(spark, probes)
         if cand is None:
             return None

@@ -2,7 +2,9 @@
 
     spark-submit --py-files dist/changedatacapture_spark.zip \
         scripts/run_pipeline.py --segments DIR --lake DIR --checkpoint DIR \
-        [--tail] [--buckets N] [--max-files N] [--embeddings]
+        [--tail] [--buckets N] [--max-files N] [--embeddings] \
+        [--tables pages,authors] [--ann-index DIR] \
+        [--compact-min-files K] [--expire-keep N]
 """
 
 from __future__ import annotations
@@ -26,19 +28,59 @@ def main():
         "--compact-every", type=int, default=16,
         help="fold merge-on-read deltas every N epochs (0 disables)",
     )
+    ap.add_argument(
+        "--compact-min-files", type=int, default=None,
+        help="read-cost-keyed auto-compaction: fold any bucket reaching K delta files",
+    )
+    ap.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="after compaction, keep only the newest N snapshots per table",
+    )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated source tables for a MIXED feed (routes on source.table)",
+    )
+    ap.add_argument(
+        "--ann-index", default=None,
+        help="path of an IncrementalVectorIndex kept fresh per epoch (implies --embeddings)",
+    )
+    ap.add_argument("--ann-planes", type=int, default=8)
     args = ap.parse_args()
 
-    from changedatacapture_spark.streaming.driver import CdcPipeline
+    from changedatacapture_spark.streaming.driver import CdcPipeline, MultiTablePipeline
 
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
-    pipe = CdcPipeline(
-        args.lake,
+    if args.ann_index:
+        from changedatacapture_spark.functions.vector_index import IncrementalVectorIndex
+
+        args.embeddings = True
+    kwargs = dict(
         n_buckets=args.buckets,
         with_chunks=True,
         with_embeddings=args.embeddings,
         watermark=args.watermark,
         compact_every=args.compact_every or None,
+        compact_min_files=args.compact_min_files,
+        expire_keep=args.expire_keep,
     )
+    if args.tables:
+        tables = args.tables.split(",")
+        pipe = MultiTablePipeline(args.lake, tables, **kwargs)
+        if args.ann_index:
+            # one index PER table: urls (hence chunk_ids) may overlap across
+            # source tables, and each table owns its own epoch log
+            import os as _os
+
+            for t in tables:
+                pipe[t].ann_index = IncrementalVectorIndex(
+                    _os.path.join(args.ann_index, t), n_planes=args.ann_planes
+                )
+    else:
+        pipe = CdcPipeline(args.lake, **kwargs)
+        if args.ann_index:
+            pipe.ann_index = IncrementalVectorIndex(
+                args.ann_index, n_planes=args.ann_planes
+            )
     query = pipe.run_stream(
         spark,
         args.segments,
