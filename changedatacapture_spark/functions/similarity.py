@@ -296,6 +296,15 @@ def write_ivf(
     )
 
 
+def ivf_probes(query: list[float], centroids: np.ndarray, n_probes: int) -> list[int]:
+    """Cells to probe, closest first — the ONE ranking both IVF readers use
+    (must stay metric-consistent with :func:`_assign_cells_udf`'s argmin:
+    squared euclidean, and it is — ||q||² is constant across cells)."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    return [int(c) for c in np.argsort(d2)[:n_probes]]
+
+
 def ivf_ann(
     spark,
     path: str,
@@ -310,8 +319,6 @@ def ivf_ann(
     """ANN over a :func:`write_ivf` corpus: rank cells by distance to the
     query (driver-side, n_cells rows), partition-pruned scan of the closest
     ``n_probes`` cells, exact cosine rank inside the candidates."""
-    q = np.asarray(query, dtype=np.float64)
-    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(c) for c in np.argsort(d2)[:n_probes]]
+    probes = ivf_probes(query, centroids, n_probes)
     candidates = spark.read.parquet(path).where(F.col("cell").isin(probes))
     return cosine_topk(candidates, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -138,9 +138,13 @@ class IncrementalVectorIndex:
     def bucket_of(self, vec_col: str) -> F.Column:
         """Bucket of an embedding column: LSH = JVM fold expression
         (whole-stage codegen, no UDF); IVF = Arrow-batched nearest-centroid
-        assignment (the legitimate pandas-UDF case, similarity.py)."""
+        assignment (the legitimate pandas-UDF case, similarity.py; the UDF
+        object — which captures the centroid matrix — is built once per
+        index, not per call)."""
         if self.mode == "ivf":
-            return similarity._assign_cells_udf(self.centroids)(F.col(vec_col))
+            if not hasattr(self, "_assign_udf"):
+                self._assign_udf = similarity._assign_cells_udf(self.centroids)
+            return self._assign_udf(F.col(vec_col))
         return similarity.bucket_expr(vec_col, self._planes())
 
     # -- write ----------------------------------------------------------------
@@ -180,6 +184,14 @@ class IncrementalVectorIndex:
             new_vecs.withColumn("bucket", self.bucket_of("embedding"))
             .withColumn("is_deleted", F.lit(0))
         )
+        persisted = False
+        if replaced is not None and self.mode == "ivf":
+            # `new` feeds both union branches below; without caching, the
+            # Arrow cell-assignment UDF (an n×k×dim matmul round-trip) would
+            # run once per branch. The LSH bucket is a cheap codegen fold —
+            # not worth the cache.
+            new = new.persist()
+            persisted = True
         rows = new
         if replaced is not None:
             nb = new.select(
@@ -200,9 +212,13 @@ class IncrementalVectorIndex:
             rows = new.unionByName(tombs, allowMissingColumns=True)
         # pre-reduced by construction: one row per (chunk_id, bucket); a
         # moved id's tombstone+insert pair is intentional (different buckets)
-        return self.table.merge_lww(
-            spark, rows, epoch_id=epoch_id, pre_reduced=True, truncate=truncate
-        )
+        try:
+            return self.table.merge_lww(
+                spark, rows, epoch_id=epoch_id, pre_reduced=True, truncate=truncate
+            )
+        finally:
+            if persisted:
+                new.unpersist()
 
     def build(
         self,
@@ -244,11 +260,7 @@ class IncrementalVectorIndex:
         candidates. Freshness = the last committed epoch, no rebuild.
         Probe order: LSH = margin-ordered bit flips; IVF = nearest cells."""
         if self.mode == "ivf":
-            import numpy as np
-
-            q = np.asarray(query, dtype=np.float64)
-            d2 = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
-            probes = [int(c) for c in np.argsort(d2)[:n_probes]]
+            probes = similarity.ivf_probes(query, self.centroids, n_probes)
         else:
             probes = similarity.probe_buckets(query, self._planes(), n_probes)
         cand = self.table.read_bucket_winners(spark, probes)

@@ -99,7 +99,11 @@ class CdcPipeline:
         self.key_skip_max = key_skip_max
         # optional functions.vector_index.IncrementalVectorIndex kept fresh
         # per epoch off the same CDC stream (the reference's per-change
-        # vector-index upserts, main.py:1095-1102) — requires with_embeddings
+        # vector-index upserts, main.py:1095-1102)
+        assert ann_index is None or with_embeddings, (
+            "ann_index requires with_embeddings=True — without embeddings the "
+            "index would never receive a vector"
+        )
         self.ann_index = ann_index
         self.metrics: list[dict] = []
 
@@ -591,7 +595,10 @@ class MultiTablePipeline:
     """
 
     def __init__(self, base_dir: str, tables: list[str], **pipeline_kwargs):
-        self.tables = list(tables)
+        self.tables = [t.strip() for t in tables if t and t.strip()]
+        # the stream watermark belongs to the ONE shared StreamingQuery —
+        # honor the same kwarg the per-table pipelines receive
+        self.watermark = pipeline_kwargs.get("watermark", "30 minutes")
         self.pipes: dict[str, CdcPipeline] = {
             t: CdcPipeline(os.path.join(base_dir, t), **pipeline_kwargs)
             for t in self.tables
@@ -615,14 +622,14 @@ class MultiTablePipeline:
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
         timeout_sec: float | None = None,
-        watermark: str = "30 minutes",
+        watermark: str | None = None,
     ):
         return run_cdc_stream(
             spark,
             segments_dir,
             checkpoint_dir,
             self.apply_batch,
-            watermark=watermark,
+            watermark=watermark if watermark is not None else self.watermark,
             max_files_per_trigger=max_files_per_trigger,
             available_now=available_now,
             timeout_sec=timeout_sec,

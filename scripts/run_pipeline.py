@@ -64,7 +64,7 @@ def main():
         expire_keep=args.expire_keep,
     )
     if args.tables:
-        tables = args.tables.split(",")
+        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
         pipe = MultiTablePipeline(args.lake, tables, **kwargs)
         if args.ann_index:
             # one index PER table: urls (hence chunk_ids) may overlap across
