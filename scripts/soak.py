@@ -1,0 +1,173 @@
+"""Integration soak: every engine feature on at once, with a mid-stream
+crash-restart, verified byte-level against the sequential oracles.
+
+50k mixed events over two source tables (overlapping urls), truncates,
+schema evolution, hot-url skew, dup deliveries, late events; pipeline runs
+with embeddings + per-table incremental ANN indexes + read-cost-keyed
+auto-compaction + snapshot expiry. Phase 1 sees only half the binlog
+segments; phase 2 restarts from the same checkpoint with FRESH pipeline
+objects and drains the rest. Asserts, per table:
+
+- pages text ≡ oracle fold (incl. truncate clears)
+- chunks ≡ oracle chunker over the fold state
+- ANN index live (chunk_id → rows) ≡ chunks-table live set
+- delta stacks bounded by compact_min_files; snapshots bounded by expire_keep
+
+Usage: PYTHONPATH=/root/repo python scripts/soak.py [--events 50000]
+(not part of pytest — this is the long-running stress twin of the suite)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=50_000)
+    ap.add_argument("--urls", type=int, default=3_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--workdir", default=f"/tmp/cdc_soak_{os.getpid()}")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark import gen, oracle
+    from changedatacapture_spark.functions.vector_index import IncrementalVectorIndex
+    from changedatacapture_spark.streaming.driver import MultiTablePipeline
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .config("spark.sql.shuffle.partitions", str(args.cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    wd = args.workdir
+    shutil.rmtree(wd, ignore_errors=True)
+    seg = os.path.join(wd, "binlog")
+
+    t0 = time.monotonic()
+    events = gen.generate_small(
+        seg,
+        n_urls=args.urls,
+        n_events=args.events,
+        n_segments=16,
+        seed=2024,
+        hot_frac=0.1,
+        truncate_frac=0.0005,
+        second_table_frac=0.25,
+        evolve_at=0.6,
+        testdata_dir="/root/testdata/sf0.01",
+    )
+    print(f"[soak] generated {args.events} events in {time.monotonic() - t0:.0f}s", flush=True)
+
+    tables = ["pages", "authors"]
+
+    def mk_pipes():
+        m = MultiTablePipeline(
+            os.path.join(wd, "lake"),
+            tables,
+            n_buckets=16,
+            with_embeddings=True,
+            compact_min_files=6,
+            expire_keep=4,
+        )
+        for t in tables:
+            m[t].ann_index = IncrementalVectorIndex(
+                os.path.join(wd, "ix", t), n_planes=4
+            )
+        return m
+
+    # phase 1: only half the segments visible → stream drains them and stops
+    files = sorted(f for f in os.listdir(seg) if f.endswith(".parquet"))
+    hidden = {}
+    for f in files[len(files) // 2:]:
+        hidden[f] = os.path.join(wd, "hidden", f)
+        os.makedirs(os.path.dirname(hidden[f]), exist_ok=True)
+        os.rename(os.path.join(seg, f), hidden[f])
+    t0 = time.monotonic()
+    mk_pipes().run_stream(spark, seg, os.path.join(wd, "ckpt"),
+                          max_files_per_trigger=2, timeout_sec=3600)
+    print(f"[soak] phase 1 done in {time.monotonic() - t0:.0f}s", flush=True)
+
+    # crash-restart: restore segments, FRESH pipeline objects, same checkpoint
+    for f, p in hidden.items():
+        os.rename(p, os.path.join(seg, f))
+    multi = mk_pipes()
+    t0 = time.monotonic()
+    multi.run_stream(spark, seg, os.path.join(wd, "ckpt"),
+                     max_files_per_trigger=2, timeout_sec=3600)
+    print(f"[soak] phase 2 (restart) done in {time.monotonic() - t0:.0f}s", flush=True)
+
+    failures = []
+    for t in tables:
+        pipe = multi[t]
+        exp = oracle.fold_events([e for e in events if e["source"]["table"] == t])
+        pages = {r["url"]: r["text"] for r in pipe.pages.read(spark).collect()}
+        if set(pages) != set(exp):
+            failures.append(f"{t}: key sets diverge ({len(pages)} vs {len(exp)})")
+        else:
+            bad = [u for u, p in exp.items() if pages[u] != p["text"]]
+            if bad:
+                failures.append(f"{t}: {len(bad)} text mismatches e.g. {bad[:2]}")
+
+        exp_chunks = {u: oracle.chunk_by_sections(p["text"]) for u, p in exp.items()}
+        got_chunks: dict[str, list] = {}
+        for r in pipe.chunks.read(spark).collect():
+            got_chunks.setdefault(r["url"], []).append(r)
+        if set(got_chunks) != {u for u, c in exp_chunks.items() if c}:
+            failures.append(f"{t}: chunk url sets diverge")
+        else:
+            for url, rows in got_chunks.items():
+                rows = sorted(rows, key=lambda r: r["chunk_index"])
+                if [g["content"] for g in rows] != [e["content"] for e in exp_chunks[url]]:
+                    failures.append(f"{t}: chunk bytes differ for {url}")
+                    break
+
+        exp_ids = {r["chunk_id"] for r in pipe.chunks.read(spark)
+                   .where(F.col("embedding").isNotNull()).collect()}
+        got_ids = {r["chunk_id"] for r in pipe.ann_index.live_rows(spark).collect()}
+        if got_ids != exp_ids:
+            failures.append(
+                f"{t}: index diverged (+{len(got_ids - exp_ids)}/-{len(exp_ids - got_ids)})"
+            )
+
+        mf = pipe.pages.max_files_per_bucket()
+        if mf > 6:
+            failures.append(f"{t}: delta stack {mf} exceeds compact_min_files")
+        if len(pipe.pages.snapshot_ids()) > 6:
+            failures.append(f"{t}: {len(pipe.pages.snapshot_ids())} snapshots kept")
+        print(
+            f"[soak] {t}: pages={len(pages)} chunks={sum(len(v) for v in got_chunks.values())} "
+            f"index={len(got_ids)} max_files/bucket={mf} "
+            f"snapshots={len(pipe.pages.snapshot_ids())} "
+            f"truncate={pipe.pages.current_snapshot().get('truncate') is not None}",
+            flush=True,
+        )
+
+    if failures:
+        print("[soak] FAILED:\n  " + "\n  ".join(failures))
+        sys.exit(1)
+    print("[soak] PASS — all tables byte-exact vs oracle, index consistent, "
+          "maintenance bounds held across crash-restart")
+    shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
