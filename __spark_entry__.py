@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — every queries() entry has one except embed_documents
-    (the Philox embedding stub is not SQL-expressible → rows-only check; its
-    semantics are pinned by tests/test_transform_parity.py)."""
+    """DuckDB twins — EVERY queries() entry has one (round 3: the embedding
+    stub was redefined over md5 arithmetic so even the embedding stage is
+    value-hash-verified; no rows-only residuals remain)."""
     return dict(ORACLE_SQL)

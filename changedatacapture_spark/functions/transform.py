@@ -153,19 +153,28 @@ EMBED_DIM = 384  # reference: all-MiniLM-L6-v2, 384-dim (main.py:1155-1160)
 def embed_stub_udf(content: pd.Series) -> pd.Series:
     """Deterministic stand-in for the embedding model (main.py:45 — weights
     are unavailable offline; SURVEY.md §7 declares this a pluggable vectorized
-    stage). md5(content) seeds a fixed linear-congruential expansion into a
-    unit-norm 384-dim float vector — stable across processes and platforms.
+    stage), defined over pure md5 arithmetic so the whole embedding stage is
+    ANSI-SQL-expressible: dim pair j comes from md5(content·US·j) split into
+    two 60-bit hex slices mapped to integers in [-10^6, 10^6]; the vector is
+    L2-normalized in float64 and stored as float32. The sum of 384 squared
+    ints is < 2^53, so the norm is computed over EXACT integers — bit-equal
+    in any summation order on any engine — and the DuckDB twin
+    (oracles_sql._embed_sql) reproduces every float32 byte. This upgrades
+    the r2 rows-only gate row to a full value-hash oracle.
     """
 
     def one(t):
         if t is None:
             return None
-        digest = hashlib.md5(t.encode("utf-8")).digest()
-        seed = np.frombuffer(digest, dtype=np.uint64)
-        rng = np.random.Generator(np.random.Philox(key=seed))
-        v = rng.standard_normal(EMBED_DIM).astype(np.float32)
-        n = np.linalg.norm(v)
-        return (v / n if n else v).tolist()
+        raw = np.empty(EMBED_DIM, dtype=np.float64)
+        for j in range(EMBED_DIM // 2):
+            hx = hashlib.md5(f"{t}\x1f{j}".encode("utf-8")).hexdigest()
+            raw[2 * j] = int(hx[:15], 16) % 2_000_001 - 1_000_000
+            raw[2 * j + 1] = int(hx[16:31], 16) % 2_000_001 - 1_000_000
+        n = float(np.sqrt((raw * raw).sum()))
+        if n == 0.0:
+            return [0.0] * EMBED_DIM
+        return (raw / n).astype(np.float32).tolist()
 
     return content.map(one)
 

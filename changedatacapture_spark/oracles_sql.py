@@ -8,12 +8,11 @@ Determinism rules shared with queries.py:
 - double arithmetic is written with the same operation order as the Spark
   expression so IEEE results are bit-identical.
 
-Non-SQL-expressible queries (the Philox embedding stub) are intentionally
-absent → the driver records the weaker rows-only check; their semantics are
-pinned by pytest instead. The LSH-ANN twin IS expressible: the projection
-hyperplanes are deterministic (md5-seeded Philox), so they are inlined below
-as double literals and the fold reuses the already-proven list_dot_product
-parity (ann_cosine_topk).
+Round 3: EVERY queries() entry has a twin — including the embedding stage,
+whose stub was redefined over md5 arithmetic precisely so its float32
+vectors are reproducible in ANSI SQL (_embed_sql). The LSH/IVF-ANN twins
+inline their deterministic hyperplanes as double literals and reuse the
+proven list_dot_product fold parity (ann_cosine_topk).
 """
 
 _ENV = """
@@ -297,6 +296,40 @@ def _incr_ann_sql(dim: int = 64, n_planes: int = 4, n_updates: int = 10) -> str:
     """
 
 
+def _embed_sql(dim: int = 384) -> str:
+    """DuckDB twin of queries.embed_documents: the md5-arithmetic embedding
+    stub reproduced end to end. Dim pair j = md5(text·chr(31)·j) split into
+    hex[1:15] / hex[17:31] ('0x'||h)::BIGINT per the hex→int rule), mapped
+    to [-10^6, 10^6]; the norm is sqrt over EXACT integer squares (< 2^53 —
+    bit-equal in any summation order), the normalized values are cast to
+    FLOAT exactly like Spark's array<float> storage, and the projection
+    (dim, norm_micro, md5 of the micro-unit ints) matches the Spark side
+    byte for byte."""
+    raw = f"""
+        list_transform(range({dim}), i ->
+          CAST((('0x' || substr(md5(text || chr(31) || CAST((i // 2) AS VARCHAR)),
+                                1 + 16 * (i % 2), 15))::BIGINT % 2000001)
+               - 1000000 AS DOUBLE))
+    """
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50),
+        r AS (SELECT doc_id, {raw} AS raw FROM d),
+        n AS (SELECT doc_id, raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM r),
+        v AS (
+          SELECT doc_id,
+                 list_transform(raw, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) AS e
+          FROM n
+        )
+        SELECT doc_id,
+               CAST({dim} AS INTEGER) AS dim,
+               CAST(round(sqrt(list_dot_product(e, e)) * 1000000) AS BIGINT) AS norm_micro,
+               md5(array_to_string(
+                 list_transform(e, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)),
+                 ',')) AS vec_md5
+        FROM v
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "cdc_envelope": _ENV,
     "cdc_lww_winners": _WINNERS,
@@ -540,6 +573,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ann_lsh_topk": _lsh_topk_sql(),
     "ann_incremental_topk": _incr_ann_sql(),
+    "embed_documents": _embed_sql(),
     "ann_cosine_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -599,12 +599,12 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12: the embedding stage (deterministic Philox stub) — rows-only
-    oracle (the stub itself is not SQL-expressible). The gate row is a
-    hashable scalar projection (the driver's canonicalizer sorts row values
-    and cannot hash raw array<float>); raw-vector semantics are pinned by
-    tests/test_transform_parity.py."""
-    docs = load(spark, sf_dir, "documents").limit(50)
+    """F12: the embedding stage. The stub is md5-arithmetic (round 3), so
+    this row now has a FULL DuckDB oracle — the twin recomputes every
+    float32 byte of every vector and must hash-match the micro-unit
+    projection below (the driver's canonicalizer cannot hash raw
+    array<float>, hence the md5/dim/norm scalar projection)."""
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
     e = F.col("e")
     as_double = lambda x: x.cast("double")  # noqa: E731
     return docs.select(
