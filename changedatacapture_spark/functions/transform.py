@@ -166,9 +166,12 @@ def embed_stub_udf(content: pd.Series) -> pd.Series:
     def one(t):
         if t is None:
             return None
+        # hash the FULL text exactly once; the per-dim expansion hashes only
+        # the fixed-width digest + counter (O(|text| + dim), not O(dim·|text|))
+        base = hashlib.md5(t.encode("utf-8")).hexdigest()
         raw = np.empty(EMBED_DIM, dtype=np.float64)
         for j in range(EMBED_DIM // 2):
-            hx = hashlib.md5(f"{t}\x1f{j}".encode("utf-8")).hexdigest()
+            hx = hashlib.md5(f"{base}\x1f{j}".encode("ascii")).hexdigest()
             raw[2 * j] = int(hx[:15], 16) % 2_000_001 - 1_000_000
             raw[2 * j + 1] = int(hx[16:31], 16) % 2_000_001 - 1_000_000
         n = float(np.sqrt((raw * raw).sum()))

@@ -298,21 +298,25 @@ def _incr_ann_sql(dim: int = 64, n_planes: int = 4, n_updates: int = 10) -> str:
 
 def _embed_sql(dim: int = 384) -> str:
     """DuckDB twin of queries.embed_documents: the md5-arithmetic embedding
-    stub reproduced end to end. Dim pair j = md5(text·chr(31)·j) split into
-    hex[1:15] / hex[17:31] ('0x'||h)::BIGINT per the hex→int rule), mapped
-    to [-10^6, 10^6]; the norm is sqrt over EXACT integer squares (< 2^53 —
-    bit-equal in any summation order), the normalized values are cast to
-    FLOAT exactly like Spark's array<float> storage, and the projection
-    (dim, norm_micro, md5 of the micro-unit ints) matches the Spark side
-    byte for byte."""
+    stub reproduced end to end. base = md5(text) hex, hashed once; dim pair
+    j then comes from h = md5(base · chr(31) · j), split into two 15-hex
+    slices — python ``h[0:15]`` ↔ ``substr(h, 1, 15)`` and python
+    ``h[16:31]`` ↔ ``substr(h, 17, 15)`` — converted via the
+    ``('0x'||slice)::BIGINT`` hex→int rule and mapped to [-10^6, 10^6].
+    The norm is sqrt over EXACT integer squares (< 2^53 — bit-equal in any
+    summation order), the normalized values are cast to FLOAT exactly like
+    Spark's array<float> storage, and the projection (dim, norm_micro, md5
+    of the micro-unit ints) matches the Spark side byte for byte."""
     raw = f"""
         list_transform(range({dim}), i ->
-          CAST((('0x' || substr(md5(text || chr(31) || CAST((i // 2) AS VARCHAR)),
+          CAST((('0x' || substr(md5(base || chr(31) || CAST((i // 2) AS VARCHAR)),
                                 1 + 16 * (i % 2), 15))::BIGINT % 2000001)
                - 1000000 AS DOUBLE))
     """
     return f"""
-        WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50),
+        WITH d AS (
+          SELECT doc_id, md5(text) AS base FROM documents ORDER BY doc_id LIMIT 50
+        ),
         r AS (SELECT doc_id, {raw} AS raw FROM d),
         n AS (SELECT doc_id, raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM r),
         v AS (

@@ -44,6 +44,9 @@ def main():
     from changedatacapture_spark.streaming.driver import MultiTablePipeline
 
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    # CLAUDE.md: N python workers × nproc BLAS threads oversubscribe the box
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
         .config("spark.sql.shuffle.partitions", str(args.cores))
@@ -114,11 +117,14 @@ def main():
                      max_files_per_trigger=2, timeout_sec=3600)
     print(f"[soak] phase 2 (restart) done in {time.monotonic() - t0:.0f}s", flush=True)
 
+    def _rows(df):
+        return [] if df is None else df.collect()
+
     failures = []
     for t in tables:
         pipe = multi[t]
         exp = oracle.fold_events([e for e in events if e["source"]["table"] == t])
-        pages = {r["url"]: r["text"] for r in pipe.pages.read(spark).collect()}
+        pages = {r["url"]: r["text"] for r in _rows(pipe.pages.read(spark))}
         if set(pages) != set(exp):
             failures.append(f"{t}: key sets diverge ({len(pages)} vs {len(exp)})")
         else:
@@ -128,7 +134,7 @@ def main():
 
         exp_chunks = {u: oracle.chunk_by_sections(p["text"]) for u, p in exp.items()}
         got_chunks: dict[str, list] = {}
-        for r in pipe.chunks.read(spark).collect():
+        for r in _rows(pipe.chunks.read(spark)):
             got_chunks.setdefault(r["url"], []).append(r)
         if set(got_chunks) != {u for u, c in exp_chunks.items() if c}:
             failures.append(f"{t}: chunk url sets diverge")
@@ -139,19 +145,33 @@ def main():
                     failures.append(f"{t}: chunk bytes differ for {url}")
                     break
 
-        exp_ids = {r["chunk_id"] for r in pipe.chunks.read(spark)
-                   .where(F.col("embedding").isNotNull()).collect()}
-        got_ids = {r["chunk_id"] for r in pipe.ann_index.live_rows(spark).collect()}
+        ch = pipe.chunks.read(spark)
+        exp_ids = (
+            set()
+            if ch is None
+            else {r["chunk_id"] for r in ch.where(F.col("embedding").isNotNull()).collect()}
+        )
+        got_ids = {r["chunk_id"] for r in _rows(pipe.ann_index.live_rows(spark))}
         if got_ids != exp_ids:
             failures.append(
                 f"{t}: index diverged (+{len(got_ids - exp_ids)}/-{len(exp_ids - got_ids)})"
             )
 
+        # maintenance bounds hold on EVERY maintained table, not just pages
+        for name, lk in (
+            ("pages", pipe.pages),
+            ("chunks", pipe.chunks),
+            ("index", pipe.ann_index.table),
+        ):
+            mf = lk.max_files_per_bucket()
+            if mf > 6:
+                failures.append(f"{t}/{name}: delta stack {mf} exceeds compact_min_files")
+            # expiry fires on compaction passes, so up to expire_keep(4) +
+            # one phase of commits may be live — far below the ~32 total
+            # commits an unexpired run would keep
+            if len(lk.snapshot_ids()) > 12:
+                failures.append(f"{t}/{name}: {len(lk.snapshot_ids())} snapshots kept")
         mf = pipe.pages.max_files_per_bucket()
-        if mf > 6:
-            failures.append(f"{t}: delta stack {mf} exceeds compact_min_files")
-        if len(pipe.pages.snapshot_ids()) > 6:
-            failures.append(f"{t}: {len(pipe.pages.snapshot_ids())} snapshots kept")
         print(
             f"[soak] {t}: pages={len(pages)} chunks={sum(len(v) for v in got_chunks.values())} "
             f"index={len(got_ids)} max_files/bucket={mf} "
