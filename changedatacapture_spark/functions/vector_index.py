@@ -227,11 +227,18 @@ class IncrementalVectorIndex:
         *,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        epoch_id: int | None = 0,
+        epoch_id: int | None = None,
     ):
         """Initial bulk load from a plain corpus (no CDC ordering yet):
         every vector enters at the snapshot order floor, so any later stream
-        epoch supersedes it — the Debezium snapshot-then-stream contract."""
+        epoch supersedes it — the Debezium snapshot-then-stream contract.
+
+        ``epoch_id`` defaults to None so the build NEVER occupies a stream
+        epoch id: a fresh stream's first micro-batch is also epoch 0, and a
+        bulk build recorded as epoch 0 would make that first upsert no-op
+        (exactly-once log hit), silently desyncing index from chunks.
+        Re-running a build is harmless — identical rows re-merge to the
+        same LWW winners."""
         rows = emb.select(
             F.col(id_col).cast("string").alias("chunk_id"),
             F.col(id_col).cast("string").alias("url"),

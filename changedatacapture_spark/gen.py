@@ -190,6 +190,12 @@ def generate_small(
             # to the generator's event-time jitter); the after image carries
             # only the event time the engine orders by.
             ts = T0 + dt.timedelta(seconds=1 + i)
+            # snapshot-first contract: like data events, a truncate must sort
+            # AFTER every snapshot 'r' row — without this clamp, n_snap >
+            # 1000*(1+i) (many urls + an early truncate) puts 'r' rows after
+            # the 't' in the oracle fold (re-inserted) while the engine's
+            # horizon kills them unconditionally (k0=0 < 1)
+            ts = max(ts, T0 + dt.timedelta(milliseconds=n_snap + 1))
             p = {
                 "url": None,
                 "warc_ts": ts,

@@ -83,6 +83,7 @@ import json
 import os
 import shutil
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -179,6 +180,10 @@ class LakeTable:
         # huge buckets) get no bloom and are conservatively always read.
         self.file_stats = file_stats
         self.bloom_max_keys = bloom_max_keys
+        # sliding idempotency-window size (epochs kept verbatim in the
+        # snapshot); ids evicted from it raise the monotone epoch_floor —
+        # tests shrink this to exercise the floor without 1000 commits
+        self.epoch_window = 1000
         # bucket_source="column": rows carry an explicit int ``bucket`` data
         # column (e.g. an LSH bucket of an embedding) instead of hashing the
         # key. A key may then MOVE buckets between versions (its vector
@@ -217,18 +222,42 @@ class LakeTable:
         """A historical snapshot by id (every commit publishes an immutable
         ``snap-NNN.json``) — the Iceberg time-travel metadata twin. Returns
         None for unknown ids AND for ids whose data files were since
-        reclaimed by ``vacuum`` (existence-checked here, so an expired
-        snapshot never surfaces as a scan-time FileNotFoundException)."""
+        reclaimed by ``vacuum``. Expiry is an O(1) membership test against
+        the expired-ids list vacuum records at reclaim time — NOT a
+        per-call existence walk of every live data file (that walk was
+        O(total files) driver-side stats per time-travel read; at 10^5
+        buckets it undercut the O(touched buckets) metadata design)."""
         p = os.path.join(self.meta_dir, f"snap-{snapshot_id:012d}.json")
         if not os.path.exists(p):
             return None
+        if snapshot_id in self._expired_ids():
+            return None  # expired: vacuumed after a later commit
         with open(p) as f:
-            snap = json.load(f)
-        for entries in self._entries(snap).values():
-            for e in entries:
-                if not os.path.exists(self._abs(e["p"])):
-                    return None  # expired: vacuumed after a later commit
-        return snap
+            return json.load(f)
+
+    def _expired_path(self) -> str:
+        return os.path.join(self.meta_dir, "expired.json")
+
+    def _expired_ids(self) -> set[int]:
+        p = self._expired_path()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f))
+
+    def _mark_expired(self, ids: set[int]) -> None:
+        # ids whose snap-json is already gone (expire_snapshots) read as
+        # None via the missing-file check — dropping them here keeps the
+        # list O(retained snapshots), not O(all snapshots ever)
+        merged = sorted(
+            i
+            for i in (self._expired_ids() | ids)
+            if os.path.exists(os.path.join(self.meta_dir, f"snap-{i:012d}.json"))
+        )
+        tmp = self._expired_path() + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._expired_path())
 
     def snapshot_ids(self) -> list[int]:
         return sorted(
@@ -240,6 +269,18 @@ class LakeTable:
     def committed_epochs(self) -> dict[str, int]:
         snap = self.current_snapshot()
         return dict(snap["epochs"]) if snap else {}
+
+    def epoch_committed(self, epoch_id: int) -> bool:
+        """Exactly-once guard: True if this epoch was already applied —
+        either present in the sliding idempotency window or OLDER than the
+        window's eviction floor (its entry aged out; re-applying it would
+        double-merge the batch). Callers skip committed epochs."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return False
+        if str(epoch_id) in snap["epochs"]:
+            return True
+        return int(epoch_id) <= int(snap.get("epoch_floor", -1))
 
     def _publish(self, snapshot: dict) -> None:
         sid = snapshot["snapshot_id"]
@@ -574,34 +615,63 @@ class LakeTable:
                 names.add(n)
         return cols
 
-    def _file_entry(self, abs_path: str) -> dict:
-        """Manifest entry for a freshly written data file: relative path, row
-        count, and the key bloom (one columnar read of the key column — the
-        file is already local and O(batch); at cluster scale this moves into
-        the write tasks, the manifest shape is unchanged)."""
-        rel = os.path.relpath(abs_path, self.path)
-        if not self.file_stats:
-            return {"p": rel, "rows": None, "bloom": None}
-        import pyarrow.parquet as pq
+    def _file_stats_job(self, spark: SparkSession, commit_dir: str) -> dict[str, dict]:
+        """Per-file (row count, key bloom) for a freshly written commit,
+        computed INSIDE Spark: one column-pruned scan of the commit's key
+        column grouped by physical file, bloom bitmaps built in the executor
+        tasks, and only O(files) small (rows, bitmap) tuples returned to the
+        driver. Replaces the round-3 driver-side pyarrow re-read of every
+        written file — the one per-epoch driver cost that grew with batch
+        size (at 100× batches the driver never touches data bytes now)."""
+        key, cap = self.key, self.bloom_max_keys
+        key_type = dict(self._current_write_schema).get(key, "string")
 
-        # row count from the footer — the key column is only materialized
-        # when a bloom will actually be built (a post-compaction base file
-        # over bloom_max_keys would otherwise pull its whole key column into
-        # driver memory for nothing)
-        n = pq.ParquetFile(abs_path).metadata.num_rows
-        bloom = None
-        if 0 < n <= self.bloom_max_keys:
-            keys = [
-                k
-                for k in pq.read_table(abs_path, columns=[self.key]).column(0).to_pylist()
-                if k is not None
-            ]
-            bloom = _bloom_build(keys)
-        return {"p": rel, "rows": n, "bloom": bloom}
+        def stats(pdf):
+            import json as _json
+
+            import pandas as _pd
+
+            n = len(pdf)
+            bloom = None
+            if 0 < n <= cap:
+                bloom = _bloom_build(
+                    [k for k in pdf["_k"].tolist() if k is not None]
+                )
+            return _pd.DataFrame(
+                {
+                    "f": [pdf["_f"].iloc[0]],
+                    "rows": [n],
+                    "bloom": [_json.dumps(bloom) if bloom is not None else None],
+                }
+            )
+
+        # _f MUST be materialized in the scan projection, BEFORE the groupBy
+        # exchange — input_file_name() evaluates to "" after a shuffle.
+        src = (
+            spark.read.schema(f"`{key}` {key_type}")
+            .parquet(commit_dir)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(key).cast("string").alias("_k"),
+            )
+        )
+        collected = src.groupBy("_f").applyInPandas(
+            stats, "f string, rows bigint, bloom string"
+        ).collect()
+        out: dict[str, dict] = {}
+        for r in collected:
+            p = os.path.normpath(unquote(urlparse(r["f"]).path))
+            out[p] = {
+                "rows": int(r["rows"]),
+                "bloom": json.loads(r["bloom"]) if r["bloom"] else None,
+            }
+        return out
 
     def _write_buckets(self, df: DataFrame, snapshot_id: int) -> dict[str, list[dict]]:
         """Write df (already carrying _bucket) partitioned by bucket into an
-        immutable commit dir; return bucket → manifest entries."""
+        immutable commit dir; return bucket → manifest entries (path, rows,
+        key bloom). File stats come from ``_file_stats_job`` — a distributed
+        aggregate over the just-written files, never a driver-side read."""
         commit_dir = os.path.join(self.data_dir, f"commit-{snapshot_id:012d}")
         # co-locate each bucket in one task → one file per touched bucket
         # (without this, every reduce task writes a sliver of every bucket:
@@ -609,17 +679,32 @@ class LakeTable:
         df.repartition(self.n_buckets, "_bucket").write.mode("overwrite").partitionBy(
             "_bucket"
         ).parquet(commit_dir)
-        out: dict[str, list[dict]] = {}
+        paths: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
                 continue
             b = entry.split("=", 1)[1]
             bdir = os.path.join(commit_dir, entry)
-            out[b] = [
-                self._file_entry(os.path.join(bdir, f))
+            paths[b] = [
+                os.path.join(bdir, f)
                 for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet")
             ]
+        stats: dict[str, dict] = {}
+        if self.file_stats and any(paths.values()):
+            stats = self._file_stats_job(df.sparkSession, commit_dir)
+        out: dict[str, list[dict]] = {}
+        for b, ps in paths.items():
+            out[b] = []
+            for p in ps:
+                st = stats.get(os.path.normpath(p))
+                rel = os.path.relpath(p, self.path)
+                if st is None:
+                    # no stats (file_stats off, or a zero-row straggler the
+                    # scan never surfaced) → conservatively always read
+                    out[b].append({"p": rel, "rows": None, "bloom": None})
+                else:
+                    out[b].append({"p": rel, "rows": st["rows"], "bloom": st["bloom"]})
         return out
 
     def _commit(
@@ -672,14 +757,22 @@ class LakeTable:
                 else:
                     refs.pop(str(b), None)
         epochs = dict(snap["epochs"]) if snap else {}
+        epoch_floor = int(snap.get("epoch_floor", -1)) if snap else -1
         if epoch_id is not None:
             epochs[str(epoch_id)] = sid
         # bound the idempotency log: Spark re-delivers only recent epochs
         # after a restart (checkpointed offsets are monotonic), so a sliding
         # window of the newest entries suffices — keeps snapshot JSON O(1)
-        # over a 10^10-event run instead of O(epochs)
-        if len(epochs) > 1000:
-            keep = sorted(epochs, key=int)[-1000:]
+        # over a 10^10-event run instead of O(epochs). Evicted ids raise the
+        # monotone ``epoch_floor``: a replay OLDER than the window is then
+        # still recognized as already-applied (epoch_committed) instead of
+        # silently re-applied after its window entry is gone.
+        if len(epochs) > self.epoch_window:
+            keep = sorted(epochs, key=int)[-self.epoch_window:]
+            kept = set(keep)
+            epoch_floor = max(
+                [epoch_floor] + [int(k) for k in epochs if k not in kept]
+            )
             epochs = {k: epochs[k] for k in keep}
         # the truncate horizon is monotone and persists across compaction:
         # a late event older than the horizon must still die at read time
@@ -697,6 +790,8 @@ class LakeTable:
             "resolved": resolved,
             "meta": extra_meta or {},
         }
+        if epoch_floor >= 0:
+            new_snap["epoch_floor"] = epoch_floor
         if horizon is not None:
             new_snap["truncate"] = horizon
         self._publish(new_snap)
@@ -747,7 +842,7 @@ class LakeTable:
         pre_reduced: bool,
         truncate: list | None = None,
     ) -> dict | None:
-        if epoch_id is not None and str(epoch_id) in self.committed_epochs():
+        if epoch_id is not None and self.epoch_committed(epoch_id):
             return None  # exactly-once: this micro-batch already applied
         if self.bucket_source == "column":
             # a moved key legitimately writes TWO rows (tombstone in the old
@@ -852,7 +947,7 @@ class LakeTable:
         delta files survive by manifest reference. Copy-on-write by design —
         use ``merge_sets`` on hot streaming paths."""
         assert self.bucket_source == "key_hash", "replace_keys needs key-derived buckets"
-        if epoch_id is not None and str(epoch_id) in self.committed_epochs():
+        if epoch_id is not None and self.epoch_committed(epoch_id):
             return None
 
         merged_schema = self._merged_schema(rows)
@@ -1046,6 +1141,7 @@ class LakeTable:
                 os.remove(os.path.join(self.manifest_dir, fn))
                 self._manifest_cache.pop(fn, None)
                 removed += 1
+        self._mark_expired(set())  # prune expired-ids of now-deleted snap jsons
         return removed
 
     def vacuum(self) -> int:
@@ -1060,22 +1156,54 @@ class LakeTable:
         if snap:
             for es in self._entries(snap).values():
                 live.update(self._abs(e["p"]) for e in es)
-        removed = 0
+        # pass 1: collect doomed files (no deletion yet)
+        doomed: set[str] = set()
+        empty_dirs: list[str] = []
         for entry in list(os.listdir(self.data_dir)):
             cdir = os.path.join(self.data_dir, entry)
-            n_parquet = 0
+            n_live = 0
             for root, _dirs, files in os.walk(cdir):
                 for fn in files:
                     p = os.path.join(root, fn)
                     if not fn.endswith(".parquet"):
                         continue
                     if p in live:
-                        n_parquet += 1
+                        n_live += 1
                     else:
-                        os.remove(p)
-                        removed += 1
-            if n_parquet == 0:
-                shutil.rmtree(cdir, ignore_errors=True)
+                        doomed.add(p)
+            if n_live == 0:
+                empty_dirs.append(cdir)
+        # pass 2: record which historical snapshots the reclaim expires,
+        # BEFORE deleting (crash-safe: a snapshot is marked expired first,
+        # so a torn vacuum can only over-expire, never serve missing files).
+        # This is the one-time cost that lets snapshot() be O(1) per call.
+        if doomed:
+            cur_sid = snap["snapshot_id"] if snap else -1
+            already = self._expired_ids()
+            expired: set[int] = set()
+            for sid in self.snapshot_ids():
+                if sid == cur_sid or sid in already:
+                    continue
+                p = os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
+                try:
+                    with open(p) as f:
+                        old = json.load(f)
+                    refs = any(
+                        self._abs(e["p"]) in doomed
+                        for es in self._entries(old).values()
+                        for e in es
+                    )
+                except (FileNotFoundError, json.JSONDecodeError):
+                    refs = True  # metadata already gone → expired
+                if refs:
+                    expired.add(sid)
+            self._mark_expired(expired)
+        removed = 0
+        for p in doomed:
+            os.remove(p)
+            removed += 1
+        for cdir in empty_dirs:
+            shutil.rmtree(cdir, ignore_errors=True)
         return removed
 
 

@@ -328,7 +328,7 @@ class CdcPipeline:
         - won keys are re-chunked; unchanged chunks within them reuse stored
           embeddings, only changed chunks hit the embedding stage.
         """
-        if str(epoch_id) in self.chunks.committed_epochs():
+        if self.chunks.epoch_committed(epoch_id):
             return  # replayed chunks epoch: skip plan construction entirely
 
         b_key = order_key_cols(F.col("op"), F.col("warc_ts"), F.col("pos"))
@@ -587,14 +587,28 @@ class MultiTablePipeline:
     ``pages``). Events whose ``source.table`` is not configured are dropped,
     mirroring the reference's skip of unknown topics.
 
-    Scale note: each table's pipeline runs on ``batch.where(source.table =
-    t)`` — a pushed-down scan predicate — so a T-table mixed feed pays T
-    filtered passes over the batch. Deployments with genuinely separate
-    per-table topics should run one single-table pipeline per topic instead
-    (the reference's layout); this class exists for the fan-in case.
+    Scale note: the parsed batch is persisted ONCE per epoch and every
+    table's pipeline runs on an in-memory slice of it — a T-table fan-in
+    scans the raw segment files once, not T times (the per-epoch raw-scan
+    count is independent of T; pinned in tests/test_multitable.py).
+    Deployments with genuinely separate per-table topics should still run
+    one single-table pipeline per topic (the reference's layout,
+    create_connector.bat:20-22); this class exists for the fan-in case.
     """
 
     def __init__(self, base_dir: str, tables: list[str], **pipeline_kwargs):
+        if "ann_index" in pipeline_kwargs:
+            # a single index instance shared by every per-table pipeline
+            # would interleave overlapping urls/chunk_ids from different
+            # tables in ONE epoch log + table and silently corrupt it —
+            # assign per-table indexes after construction instead
+            # (``multi[t].ann_index = ...``, the scripts/run_pipeline.py
+            # pattern: one IncrementalVectorIndex per table).
+            raise ValueError(
+                "MultiTablePipeline does not accept ann_index: one index "
+                "cannot serve several tables. Set a per-table index via "
+                "pipeline[table].ann_index = IncrementalVectorIndex(...)"
+            )
         self.tables = [t.strip() for t in tables if t and t.strip()]
         # the stream watermark belongs to the ONE shared StreamingQuery —
         # honor the same kwarg the per-table pipelines receive
@@ -608,10 +622,22 @@ class MultiTablePipeline:
         return self.pipes[table]
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        for t, pipe in self.pipes.items():
-            pipe.apply_batch(
-                batch_df.where(F.col("source.table") == F.lit(t)), epoch_id
-            )
+        # one-pass dispatch: materialize the parsed batch into the cache with
+        # a single scan of the raw segments, then slice per table from
+        # memory — without this, a foreachBatch file-source DataFrame
+        # re-scans the segment files on EVERY per-table action (T passes)
+        many = len(self.pipes) > 1
+        if many:
+            batch_df = batch_df.persist()
+            batch_df.count()  # the one raw-segment scan of this epoch
+        try:
+            for t, pipe in self.pipes.items():
+                pipe.apply_batch(
+                    batch_df.where(F.col("source.table") == F.lit(t)), epoch_id
+                )
+        finally:
+            if many:
+                batch_df.unpersist()
 
     def run_stream(
         self,
