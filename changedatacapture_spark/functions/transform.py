@@ -149,6 +149,27 @@ def chunk_udf(text: pd.Series) -> pd.Series:
 EMBED_DIM = 384  # reference: all-MiniLM-L6-v2, 384-dim (main.py:1155-1160)
 
 
+def stub_embed_one(t: str | None) -> list[float] | None:
+    """One text → one deterministic md5-arithmetic vector (the body of
+    ``embed_stub_udf``, shared with the real-model adapter's offline
+    fallback, functions/embed_adapter.py). ORACLE-PINNED: oracles_sql
+    ``_embed_sql`` reproduces every float32 byte — change nothing here."""
+    if t is None:
+        return None
+    # hash the FULL text exactly once; the per-dim expansion hashes only
+    # the fixed-width digest + counter (O(|text| + dim), not O(dim·|text|))
+    base = hashlib.md5(t.encode("utf-8")).hexdigest()
+    raw = np.empty(EMBED_DIM, dtype=np.float64)
+    for j in range(EMBED_DIM // 2):
+        hx = hashlib.md5(f"{base}\x1f{j}".encode("ascii")).hexdigest()
+        raw[2 * j] = int(hx[:15], 16) % 2_000_001 - 1_000_000
+        raw[2 * j + 1] = int(hx[16:31], 16) % 2_000_001 - 1_000_000
+    n = float(np.sqrt((raw * raw).sum()))
+    if n == 0.0:
+        return [0.0] * EMBED_DIM
+    return (raw / n).astype(np.float32).tolist()
+
+
 @pandas_udf(T.ArrayType(T.FloatType()))
 def embed_stub_udf(content: pd.Series) -> pd.Series:
     """Deterministic stand-in for the embedding model (main.py:45 — weights
@@ -162,24 +183,7 @@ def embed_stub_udf(content: pd.Series) -> pd.Series:
     (oracles_sql._embed_sql) reproduces every float32 byte. This upgrades
     the r2 rows-only gate row to a full value-hash oracle.
     """
-
-    def one(t):
-        if t is None:
-            return None
-        # hash the FULL text exactly once; the per-dim expansion hashes only
-        # the fixed-width digest + counter (O(|text| + dim), not O(dim·|text|))
-        base = hashlib.md5(t.encode("utf-8")).hexdigest()
-        raw = np.empty(EMBED_DIM, dtype=np.float64)
-        for j in range(EMBED_DIM // 2):
-            hx = hashlib.md5(f"{base}\x1f{j}".encode("ascii")).hexdigest()
-            raw[2 * j] = int(hx[:15], 16) % 2_000_001 - 1_000_000
-            raw[2 * j + 1] = int(hx[16:31], 16) % 2_000_001 - 1_000_000
-        n = float(np.sqrt((raw * raw).sum()))
-        if n == 0.0:
-            return [0.0] * EMBED_DIM
-        return (raw / n).astype(np.float32).tolist()
-
-    return content.map(one)
+    return content.map(stub_embed_one)
 
 
 _SIM_MATRIX: np.ndarray | None = None

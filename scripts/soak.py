@@ -1,7 +1,8 @@
 """Integration soak: every engine feature on at once, with a mid-stream
 crash-restart, verified byte-level against the sequential oracles.
 
-50k mixed events over two source tables (overlapping urls), truncates,
+500k (default; --events) mixed events over two source tables (overlapping
+urls), truncates,
 schema evolution, hot-url skew, dup deliveries, late events; pipeline runs
 with embeddings + per-table incremental ANN indexes + read-cost-keyed
 auto-compaction + snapshot expiry. Phase 1 sees only half the binlog
@@ -12,8 +13,11 @@ objects and drains the rest. Asserts, per table:
 - chunks ≡ oracle chunker over the fold state
 - ANN index live (chunk_id → rows) ≡ chunks-table live set
 - delta stacks bounded by compact_min_files; snapshots bounded by expire_keep
+- each engine phase lands inside its wall-clock budget (--phase-budget-sec;
+  scaled from measured 16-core timings ×2 headroom) — the soak doubles as a
+  throughput-regression tripwire, not just a correctness one
 
-Usage: PYTHONPATH=/root/repo python scripts/soak.py [--events 50000]
+Usage: PYTHONPATH=/root/repo python scripts/soak.py [--events 500000]
 (not part of pytest — this is the long-running stress twin of the suite)
 """
 
@@ -30,11 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=50_000)
-    ap.add_argument("--urls", type=int, default=3_000)
+    ap.add_argument("--events", type=int, default=500_000)
+    ap.add_argument("--urls", type=int, default=None,
+                    help="default: events//50 (keeps update:insert mix stable)")
+    ap.add_argument("--phase-budget-sec", type=float, default=None,
+                    help="per-engine-phase wall budget; default scales as "
+                         "120 + events*3e-3 (2x measured 16-core rate)")
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--workdir", default=f"/tmp/cdc_soak_{os.getpid()}")
     args = ap.parse_args()
+    if args.urls is None:
+        args.urls = max(1000, args.events // 50)
+    budget = args.phase_budget_sec or (120.0 + args.events * 3e-3)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -105,8 +116,9 @@ def main():
         os.rename(os.path.join(seg, f), hidden[f])
     t0 = time.monotonic()
     mk_pipes().run_stream(spark, seg, os.path.join(wd, "ckpt"),
-                          max_files_per_trigger=2, timeout_sec=3600)
-    print(f"[soak] phase 1 done in {time.monotonic() - t0:.0f}s", flush=True)
+                          max_files_per_trigger=2, timeout_sec=7200)
+    phase1_sec = time.monotonic() - t0
+    print(f"[soak] phase 1 done in {phase1_sec:.0f}s (budget {budget:.0f}s)", flush=True)
 
     # crash-restart: restore segments, FRESH pipeline objects, same checkpoint
     for f, p in hidden.items():
@@ -114,13 +126,19 @@ def main():
     multi = mk_pipes()
     t0 = time.monotonic()
     multi.run_stream(spark, seg, os.path.join(wd, "ckpt"),
-                     max_files_per_trigger=2, timeout_sec=3600)
-    print(f"[soak] phase 2 (restart) done in {time.monotonic() - t0:.0f}s", flush=True)
+                     max_files_per_trigger=2, timeout_sec=7200)
+    phase2_sec = time.monotonic() - t0
+    print(f"[soak] phase 2 (restart) done in {phase2_sec:.0f}s (budget {budget:.0f}s)", flush=True)
 
     def _rows(df):
         return [] if df is None else df.collect()
 
     failures = []
+    # wall-clock tripwire: a throughput regression fails the soak even when
+    # every byte still matches
+    for name, sec in (("phase1", phase1_sec), ("phase2", phase2_sec)):
+        if sec > budget:
+            failures.append(f"{name} took {sec:.0f}s > budget {budget:.0f}s")
     for t in tables:
         pipe = multi[t]
         exp = oracle.fold_events([e for e in events if e["source"]["table"] == t])
@@ -183,8 +201,9 @@ def main():
     if failures:
         print("[soak] FAILED:\n  " + "\n  ".join(failures))
         sys.exit(1)
-    print("[soak] PASS — all tables byte-exact vs oracle, index consistent, "
-          "maintenance bounds held across crash-restart")
+    print(f"[soak] PASS — {args.events} events, all tables byte-exact vs oracle, "
+          f"index consistent, maintenance bounds held across crash-restart, "
+          f"phases {phase1_sec:.0f}s/{phase2_sec:.0f}s within budget {budget:.0f}s")
     shutil.rmtree(wd, ignore_errors=True)
     spark.stop()
 

@@ -207,6 +207,76 @@ def test_index_build_does_not_occupy_stream_epoch_zero(spark, tmp_path):
     assert live["a"] == [0.0, 0.0, 1.0, 0.0], "epoch-0 update not visible"
 
 
+def test_kafka_reader_option_strings(spark):
+    """VERDICT r3 item 7: no broker (and no kafka connector jar) exists in
+    this sandbox, so ``read_kafka_stream`` can't execute — but its option
+    strings CAN be pinned. A recording stand-in for DataStreamReader
+    captures exactly what the builder sets; the names/casing are checked
+    against the Structured-Streaming Kafka source's documented options, and
+    load()'s result flows through the REAL projection over the source's
+    exact wire schema. Residual (documented in COVERAGE.md): only the
+    broker round-trip itself remains unexecuted."""
+    from changedatacapture_spark.operators import envelope
+
+    wire = spark.createDataFrame(
+        [
+            (
+                b"u1",
+                b'{"op":"c","before":null,"after":{"url":"u1","warc_ts":null,'
+                b'"html":null,"text":"t","lang":"en","extra":null},'
+                b'"source":{"db":"d","table":"pages","file":"f","pos":1},"ts_ms":1}',
+            ),
+            (b"u2", None),  # compaction tombstone: null Kafka value
+        ],
+        "key binary, value binary",
+    )
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.options = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.options[k] = v
+            return self
+
+        def load(self):
+            return wire
+
+    fake = FakeReader()
+
+    class FakeSession:
+        readStream = fake
+
+    out = envelope.read_kafka_stream(
+        FakeSession(),
+        "broker1:9092,broker2:9092",
+        "dbserver1.testdb.pages",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=5000,
+    )
+    assert fake.fmt == "kafka"
+    # exact documented option names — a typo here (e.g. startingOffset)
+    # would be silently ignored by a real broker connection
+    assert fake.options == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "dbserver1.testdb.pages",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": 5000,
+    }
+    # the projection really parses the Debezium value + keeps the record key
+    rows = {r["_kafka_key"]: r for r in out.collect()}
+    assert rows[b"u1".decode()]["op"] == "c"
+    assert rows["u1"]["after"]["url"] == "u1"
+    assert rows["u2"]["op"] is None  # tombstone → all-null envelope
+    dropped = envelope.filter_tombstones(out).collect()
+    assert {r["_kafka_key"] for r in dropped} == {"u1"}
+
+
 def test_generator_truncate_honors_snapshot_first_contract(tmp_path, testdata_dir):
     """ADVICE r3: truncate events get the same ts clamp as data events —
     with many snapshot urls and an early truncate, every 't' must still sort
