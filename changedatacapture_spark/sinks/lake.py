@@ -626,45 +626,68 @@ class LakeTable:
         key, cap = self.key, self.bloom_max_keys
         key_type = dict(self._current_write_schema).get(key, "string")
 
-        def stats(pdf):
+        def per_file_stats(batches):
+            """SHUFFLE-FREE per-file aggregation: a scan partition holds
+            whole files back-to-back (small files are packed; only a file
+            larger than maxPartitionBytes spans partitions), so streaming
+            the Arrow batches in order and cutting on file change yields one
+            (file, rows, bloom) per file with no exchange. A split file
+            emits one partial per partition; the driver merges counts and
+            conservatively drops the bloom (such files exceed cap anyway)."""
             import json as _json
 
             import pandas as _pd
 
-            n = len(pdf)
-            bloom = None
-            if 0 < n <= cap:
-                bloom = _bloom_build(
-                    [k for k in pdf["_k"].tolist() if k is not None]
-                )
-            return _pd.DataFrame(
-                {
-                    "f": [pdf["_f"].iloc[0]],
-                    "rows": [n],
-                    "bloom": [_json.dumps(bloom) if bloom is not None else None],
-                }
-            )
+            cur = None
+            n = 0
+            keys: list | None = []
 
-        # _f MUST be materialized in the scan projection, BEFORE the groupBy
-        # exchange — input_file_name() evaluates to "" after a shuffle.
-        src = (
-            spark.read.schema(f"`{key}` {key_type}")
-            .parquet(commit_dir)
-            .select(
-                F.input_file_name().alias("_f"),
-                F.col(key).cast("string").alias("_k"),
-            )
+            def flush():
+                bloom = (
+                    _bloom_build([k for k in keys if k is not None])
+                    if keys is not None and 0 < n <= cap
+                    else None
+                )
+                return _pd.DataFrame(
+                    {
+                        "f": [cur],
+                        "rows": [n],
+                        "bloom": [_json.dumps(bloom) if bloom is not None else None],
+                    }
+                )
+
+            for pdf in batches:
+                for f, grp in pdf.groupby("_f", sort=False):
+                    if f != cur:
+                        if cur is not None:
+                            yield flush()
+                        cur, n, keys = f, 0, []
+                    n += len(grp)
+                    if keys is not None:
+                        if n > cap:
+                            keys = None  # over bloom cap: count only
+                        else:
+                            keys.extend(grp["_k"].tolist())
+            if cur is not None:
+                yield flush()
+
+        src = spark.read.schema(f"`{key}` {key_type}").parquet(commit_dir).select(
+            F.input_file_name().alias("_f"),
+            F.col(key).cast("string").alias("_k"),
         )
-        collected = src.groupBy("_f").applyInPandas(
-            stats, "f string, rows bigint, bloom string"
+        collected = src.mapInPandas(
+            per_file_stats, "f string, rows bigint, bloom string"
         ).collect()
         out: dict[str, dict] = {}
         for r in collected:
             p = os.path.normpath(unquote(urlparse(r["f"]).path))
-            out[p] = {
-                "rows": int(r["rows"]),
-                "bloom": json.loads(r["bloom"]) if r["bloom"] else None,
-            }
+            if p in out:  # a >maxPartitionBytes file split across partitions
+                out[p] = {"rows": out[p]["rows"] + int(r["rows"]), "bloom": None}
+            else:
+                out[p] = {
+                    "rows": int(r["rows"]),
+                    "bloom": json.loads(r["bloom"]) if r["bloom"] else None,
+                }
         return out
 
     def _write_buckets(self, df: DataFrame, snapshot_id: int) -> dict[str, list[dict]]:
