@@ -122,18 +122,45 @@ def _bloom_hashes(key: str) -> tuple[int, int]:
     return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
 
 
-def _bloom_build(keys) -> list | None:
-    n = len(keys)
+def _bloom_hash_pairs(keys) -> list[tuple[int, int]]:
+    return [_bloom_hashes(k) for k in keys]
+
+
+def _bloom_from_pairs(pairs) -> list | None:
+    n = len(pairs)
     if n == 0:
         return None
     m = ((n * _BLOOM_BITS_PER_KEY + 63) // 64) * 64
     bits = bytearray(m // 8)
-    for key in keys:
-        h1, h2 = _bloom_hashes(key)
+    for h1, h2 in pairs:
         for i in range(_BLOOM_K):
             pos = (h1 + i * h2) % m
             bits[pos >> 3] |= 1 << (pos & 7)
     return [m, _BLOOM_K, base64.b64encode(bytes(bits)).decode("ascii")]
+
+
+def _bloom_build(keys) -> list | None:
+    return _bloom_from_pairs(_bloom_hash_pairs(keys))
+
+
+def _pack_pairs(pairs) -> str:
+    """Hash pairs → base64 (the over-the-wire form a split file's partials
+    use so the driver can rebuild one correctly-sized bloom)."""
+    out = bytearray()
+    for h1, h2 in pairs:
+        out += h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+    return base64.b64encode(bytes(out)).decode("ascii")
+
+
+def _unpack_pairs(b64: str) -> list[tuple[int, int]]:
+    raw = base64.b64decode(b64)
+    return [
+        (
+            int.from_bytes(raw[i : i + 8], "little"),
+            int.from_bytes(raw[i + 8 : i + 16], "little"),
+        )
+        for i in range(0, len(raw), 16)
+    ]
 
 
 def _bloom_may_contain(bloom: list, probe_hashes: list[tuple[int, int]]) -> bool:
@@ -149,6 +176,12 @@ def _bloom_may_contain(bloom: list, probe_hashes: list[tuple[int, int]]) -> bool
         if hit:
             return True
     return False
+
+
+class StaleEpochError(RuntimeError):
+    """An epoch id below the idempotency window's eviction floor arrived —
+    a checkpoint-reset/stale-replay ambiguity the engine refuses to resolve
+    silently (see LakeTable._check_epoch)."""
 
 
 class LakeTable:
@@ -197,6 +230,8 @@ class LakeTable:
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         self._manifest_cache: dict[str, list[dict]] = {}
+        self._expired_cache: tuple[int, set[int]] | None = None
+        self._adopt_expired_list()
         # the key→bucket mapping is part of the table's physical layout: an
         # existing table's persisted bucket count always wins over the
         # constructor argument (a silent mismatch would split a key across
@@ -239,11 +274,51 @@ class LakeTable:
         return os.path.join(self.meta_dir, "expired.json")
 
     def _expired_ids(self) -> set[int]:
+        """Expired snapshot ids, cached in memory and invalidated by file
+        mtime — repeated snapshot() calls cost one os.stat, not a JSON
+        parse (the list itself is bounded: _mark_expired prunes ids whose
+        snap-json expire_snapshots already removed)."""
         p = self._expired_path()
-        if not os.path.exists(p):
+        try:
+            mtime = os.stat(p).st_mtime_ns
+        except FileNotFoundError:
             return set()
-        with open(p) as f:
-            return set(json.load(f))
+        cached = self._expired_cache
+        if cached is None or cached[0] != mtime:
+            with open(p) as f:
+                cached = (mtime, set(json.load(f)))
+            self._expired_cache = cached
+        return cached[1]
+
+    def _adopt_expired_list(self) -> None:
+        """One-time migration for tables whose files were vacuumed BEFORE
+        the expired-ids list existed (or touched by an external cleaner):
+        if the list is missing on open, existence-sweep the historical
+        snapshots once and persist the result, so snapshot() stays a pure
+        membership test afterwards and a pre-list vacuumed snapshot still
+        reads as None instead of a scan-time FileNotFoundException."""
+        if os.path.exists(self._expired_path()):
+            return
+        expired: set[int] = set()
+        cur = self.current_snapshot()
+        cur_sid = cur["snapshot_id"] if cur else -1
+        for sid in self.snapshot_ids():
+            if sid == cur_sid:
+                continue
+            p = os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
+            try:
+                with open(p) as f:
+                    old = json.load(f)
+                gone = any(
+                    not os.path.exists(self._abs(e["p"]))
+                    for es in self._entries(old).values()
+                    for e in es
+                )
+            except (FileNotFoundError, json.JSONDecodeError):
+                gone = True
+            if gone:
+                expired.add(sid)
+        self._mark_expired(expired)  # writes the file even when empty
 
     def _mark_expired(self, ids: set[int]) -> None:
         # ids whose snap-json is already gone (expire_snapshots) read as
@@ -273,14 +348,58 @@ class LakeTable:
     def epoch_committed(self, epoch_id: int) -> bool:
         """Exactly-once guard: True if this epoch was already applied —
         either present in the sliding idempotency window or OLDER than the
-        window's eviction floor (its entry aged out; re-applying it would
-        double-merge the batch). Callers skip committed epochs."""
+        window's eviction floor (its entry aged out). Callers skip committed
+        epochs. Sub-floor ids are additionally REFUSED loudly at merge time
+        (see ``_check_epoch``): under Spark's checkpoint contract only
+        recent epochs ever re-deliver, so an id below the floor means the
+        checkpoint was wiped/re-pointed — silently skipping would drop that
+        stream's NEW events until its counter climbed past the floor."""
         snap = self.current_snapshot()
         if snap is None:
             return False
         if str(epoch_id) in snap["epochs"]:
             return True
         return int(epoch_id) <= int(snap.get("epoch_floor", -1))
+
+    def _check_epoch(self, epoch_id: int) -> bool:
+        """True = already applied, skip. Raises on an id below the eviction
+        floor but absent from the window: indistinguishable from a stream
+        whose checkpoint was reset against this lake, where both possible
+        silent behaviors are wrong (re-apply = double-merge; skip = data
+        loss). The operator resolves it explicitly: resume from the old
+        checkpoint, or call ``reset_epoch_log()`` before re-pointing a
+        fresh stream."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return False
+        if str(epoch_id) in snap["epochs"]:
+            return True
+        floor = int(snap.get("epoch_floor", -1))
+        if int(epoch_id) <= floor:
+            raise StaleEpochError(
+                f"epoch {epoch_id} is below this table's idempotency floor "
+                f"({floor}) but not in its window — either a replay older "
+                "than the retained window (impossible under Spark's "
+                "checkpoint re-delivery contract) or a NEW stream whose "
+                "checkpoint restarted from 0 against an existing lake. "
+                "Resume from the original checkpoint, or call "
+                "reset_epoch_log() to explicitly adopt the new stream's "
+                "epoch numbering."
+            )
+        return False
+
+    def reset_epoch_log(self) -> None:
+        """Explicitly adopt a NEW stream's epoch numbering (after a
+        checkpoint wipe/re-point): clears the idempotency window and the
+        eviction floor. Exactly-once then restarts from the next commit —
+        only safe when the old stream is truly gone."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return
+        new_snap = dict(snap)
+        new_snap["epochs"] = {}
+        new_snap.pop("epoch_floor", None)
+        self._publish(new_snap)
 
     def _publish(self, snapshot: dict) -> None:
         sid = snapshot["snapshot_id"]
@@ -628,31 +747,34 @@ class LakeTable:
 
         def per_file_stats(batches):
             """SHUFFLE-FREE per-file aggregation: a scan partition holds
-            whole files back-to-back (small files are packed; only a file
-            larger than maxPartitionBytes spans partitions), so streaming
+            whole files back-to-back (small files are packed), so streaming
             the Arrow batches in order and cutting on file change yields one
-            (file, rows, bloom) per file with no exchange. A split file
-            emits one partial per partition; the driver merges counts and
-            conservatively drops the bloom (such files exceed cap anyway)."""
+            (file, rows, bloom, hash-pairs) partial per file per partition
+            with no exchange. A file larger than maxPartitionBytes spans
+            partitions and emits several partials; because each partial also
+            carries its packed key-hash pairs (16 B/key, only while under
+            the bloom cap), the driver can rebuild ONE correctly-sized bloom
+            for the whole file — split files keep their pruning instead of
+            silently losing it."""
             import json as _json
 
             import pandas as _pd
 
             cur = None
             n = 0
-            keys: list | None = []
+            pairs: list | None = []
 
             def flush():
-                bloom = (
-                    _bloom_build([k for k in keys if k is not None])
-                    if keys is not None and 0 < n <= cap
-                    else None
-                )
+                bloom = hashes = None
+                if pairs is not None and 0 < n <= cap:
+                    bloom = _bloom_from_pairs(pairs)
+                    hashes = _pack_pairs(pairs)
                 return _pd.DataFrame(
                     {
                         "f": [cur],
                         "rows": [n],
                         "bloom": [_json.dumps(bloom) if bloom is not None else None],
+                        "hashes": [hashes],
                     }
                 )
 
@@ -661,13 +783,17 @@ class LakeTable:
                     if f != cur:
                         if cur is not None:
                             yield flush()
-                        cur, n, keys = f, 0, []
+                        cur, n, pairs = f, 0, []
                     n += len(grp)
-                    if keys is not None:
+                    if pairs is not None:
                         if n > cap:
-                            keys = None  # over bloom cap: count only
+                            pairs = None  # over bloom cap: count only
                         else:
-                            keys.extend(grp["_k"].tolist())
+                            pairs.extend(
+                                _bloom_hashes(k)
+                                for k in grp["_k"].tolist()
+                                if k is not None
+                            )
             if cur is not None:
                 yield flush()
 
@@ -676,18 +802,27 @@ class LakeTable:
             F.col(key).cast("string").alias("_k"),
         )
         collected = src.mapInPandas(
-            per_file_stats, "f string, rows bigint, bloom string"
+            per_file_stats, "f string, rows bigint, bloom string, hashes string"
         ).collect()
-        out: dict[str, dict] = {}
+        partials: dict[str, list] = {}
         for r in collected:
             p = os.path.normpath(unquote(urlparse(r["f"]).path))
-            if p in out:  # a >maxPartitionBytes file split across partitions
-                out[p] = {"rows": out[p]["rows"] + int(r["rows"]), "bloom": None}
+            partials.setdefault(p, []).append(r)
+        out: dict[str, dict] = {}
+        for p, parts in partials.items():
+            rows = sum(int(r["rows"]) for r in parts)
+            if len(parts) == 1:
+                bloom = json.loads(parts[0]["bloom"]) if parts[0]["bloom"] else None
+            elif rows <= cap and all(r["hashes"] for r in parts):
+                # split file: rebuild one bloom sized for the file's total
+                # key count from the partials' hash pairs
+                merged: list[tuple[int, int]] = []
+                for r in parts:
+                    merged.extend(_unpack_pairs(r["hashes"]))
+                bloom = _bloom_from_pairs(merged)
             else:
-                out[p] = {
-                    "rows": int(r["rows"]),
-                    "bloom": json.loads(r["bloom"]) if r["bloom"] else None,
-                }
+                bloom = None  # over cap in aggregate: count only
+            out[p] = {"rows": rows, "bloom": bloom}
         return out
 
     def _write_buckets(self, df: DataFrame, snapshot_id: int) -> dict[str, list[dict]]:
@@ -865,7 +1000,7 @@ class LakeTable:
         pre_reduced: bool,
         truncate: list | None = None,
     ) -> dict | None:
-        if epoch_id is not None and self.epoch_committed(epoch_id):
+        if epoch_id is not None and self._check_epoch(epoch_id):
             return None  # exactly-once: this micro-batch already applied
         if self.bucket_source == "column":
             # a moved key legitimately writes TWO rows (tombstone in the old
@@ -970,7 +1105,7 @@ class LakeTable:
         delta files survive by manifest reference. Copy-on-write by design —
         use ``merge_sets`` on hot streaming paths."""
         assert self.bucket_source == "key_hash", "replace_keys needs key-derived buckets"
-        if epoch_id is not None and self.epoch_committed(epoch_id):
+        if epoch_id is not None and self._check_epoch(epoch_id):
             return None
 
         merged_schema = self._merged_schema(rows)

@@ -590,7 +590,8 @@ class MultiTablePipeline:
     Scale note: the parsed batch is persisted ONCE per epoch and every
     table's pipeline runs on an in-memory slice of it — a T-table fan-in
     scans the raw segment files once, not T times (the per-epoch raw-scan
-    count is independent of T; pinned in tests/test_multitable.py).
+    count is independent of T; pinned in tests/test_round4.py::
+    test_multitable_slices_read_cache_not_raw_segments).
     Deployments with genuinely separate per-table topics should still run
     one single-table pipeline per topic (the reference's layout,
     create_connector.bat:20-22); this class exists for the fan-in case.

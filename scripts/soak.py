@@ -47,7 +47,8 @@ def main():
     args = ap.parse_args()
     if args.urls is None:
         args.urls = max(1000, args.events // 50)
-    budget = args.phase_budget_sec or (200.0 + args.events * 1.2e-3)
+    budget = (args.phase_budget_sec if args.phase_budget_sec is not None
+              else 200.0 + args.events * 1.2e-3)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

@@ -64,8 +64,13 @@ def test_bloom_stats_match_pure_python_builder(spark, tmp_path):
 
 
 def test_epoch_floor_detects_pre_window_replay(spark, tmp_path):
-    """VERDICT r3 item 8: a replay OLDER than the sliding idempotency window
-    must be detected as already-applied (epoch_floor), not re-merged."""
+    """VERDICT r3 item 8: an epoch OLDER than the sliding idempotency window
+    must be DETECTED (epoch_floor), never silently re-merged — and because a
+    sub-floor id is indistinguishable from a new stream whose checkpoint was
+    reset (where skipping would silently DROP its new events), the merge
+    refuses loudly; reset_epoch_log() is the explicit adoption path."""
+    from changedatacapture_spark.sinks.lake import StaleEpochError
+
     table = LakeTable(str(tmp_path / "w"), key="url", n_buckets=2)
     table.epoch_window = 3
     batches = {}
@@ -78,18 +83,28 @@ def test_epoch_floor_detects_pre_window_replay(spark, tmp_path):
     assert kept == [3, 4, 5], f"window should keep newest 3, got {kept}"
     assert snap["epoch_floor"] == 2
 
-    # every evicted epoch still reads as committed...
+    # every evicted epoch still reads as committed (detection works)...
     for e in range(3):
         assert table.epoch_committed(e), f"evicted epoch {e} forgotten"
-    # ...and a replay of one is a no-op, not a double-apply
+    # ...an in-window replay is still a silent no-op...
     state_before = table.read(spark).count()
-    assert table.merge_lww(spark, batches[0], epoch_id=0) is None
+    assert table.merge_lww(spark, batches[4], epoch_id=4) is None
+    # ...but a sub-floor id REFUSES instead of silently re-applying (stale
+    # replay) or silently skipping (checkpoint-reset data loss)
+    with pytest.raises(StaleEpochError, match="idempotency floor"):
+        table.merge_lww(spark, batches[0], epoch_id=0)
     assert table.current_snapshot()["snapshot_id"] == snap["snapshot_id"]
     assert table.read(spark).count() == state_before
     # a genuinely new epoch above the floor still applies
     assert table.merge_lww(
         spark, spark.createDataFrame(_rows(2, 9, prefix="new-"), _SCHEMA), epoch_id=9
     ) is not None
+    # explicit adoption of a re-pointed stream: reset, then epoch 0 applies
+    table.reset_epoch_log()
+    assert table.merge_lww(
+        spark, spark.createDataFrame(_rows(2, 0, prefix="fresh-"), _SCHEMA), epoch_id=0
+    ) is not None
+    assert {r["url"] for r in table.read(spark).collect()} >= {"fresh-0", "fresh-1"}
 
 
 def test_vacuum_records_expired_ids_no_existence_walk(spark, tmp_path):
@@ -140,6 +155,79 @@ def test_vacuum_records_expired_ids_no_existence_walk(spark, tmp_path):
             if fn.startswith("snap-")
         }
         assert set(ids) <= live_jsons
+
+
+def test_split_file_bloom_partials_rebuild_exactly(spark, tmp_path):
+    """A file larger than maxPartitionBytes spans scan partitions and emits
+    hash-pair partials; the driver must rebuild the SAME bloom the
+    single-partition path would have built (split files keep their pruning —
+    they'd otherwise lose it exactly where it matters most, big base files).
+    Forced by shrinking the session's split size so a small commit splits."""
+    from changedatacapture_spark.sinks.lake import (
+        _bloom_build,
+        _bloom_from_pairs,
+        _pack_pairs,
+        _unpack_pairs,
+    )
+
+    # the rebuild math: partial pair-lists merged in any order give the
+    # byte-identical bloom of the whole key set
+    keys = [f"u{i}" for i in range(1000)]
+    from changedatacapture_spark.sinks.lake import _bloom_hash_pairs
+
+    a, b = _bloom_hash_pairs(keys[:300]), _bloom_hash_pairs(keys[300:])
+    merged = _unpack_pairs(_pack_pairs(a)) + _unpack_pairs(_pack_pairs(b))
+    assert _bloom_from_pairs(merged) == _bloom_build(keys)
+
+    # end-to-end: force multi-partition scans of the freshly written files
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        table = LakeTable(str(tmp_path / "s"), key="url", n_buckets=1)
+        table.merge_lww(
+            spark, spark.createDataFrame(_rows(800, 1), _SCHEMA), epoch_id=1
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    import pyarrow.parquet as pq
+
+    entries = [e for es in table._entries(table.current_snapshot()).values() for e in es]
+    assert entries
+    for e in entries:
+        ks = [
+            k
+            for k in pq.read_table(table._abs(e["p"]), columns=["url"]).column(0).to_pylist()
+            if k is not None
+        ]
+        assert e["bloom"] == _bloom_build(ks), "split-file bloom diverged"
+        assert e["rows"] == pq.ParquetFile(table._abs(e["p"])).metadata.num_rows
+
+
+def test_legacy_table_without_expired_list_adopts_on_open(spark, tmp_path):
+    """A table vacuumed BEFORE the expired-ids list existed (round-3 layout)
+    must not serve a reclaimed snapshot as a scan-time
+    FileNotFoundException: opening it existence-sweeps once, persists the
+    list, and snapshot() stays a membership test afterwards."""
+    import os
+
+    table = LakeTable(str(tmp_path / "lg"), key="url", n_buckets=2)
+    table.merge_lww(spark, spark.createDataFrame(_rows(4, 1), _SCHEMA), epoch_id=1)
+    sid1 = table.current_snapshot()["snapshot_id"]
+    table.merge_lww(spark, spark.createDataFrame(_rows(4, 2), _SCHEMA), epoch_id=2)
+    table.compact(spark)  # vacuums sid1's deltas, records it expired
+
+    # simulate the round-3 layout: the list never existed
+    os.remove(table._expired_path())
+    reopened = LakeTable(str(tmp_path / "lg"), key="url", n_buckets=2)
+    assert os.path.exists(reopened._expired_path()), "adoption did not persist"
+    assert reopened.snapshot(sid1) is None, "reclaimed snapshot resurfaced"
+    assert reopened.read(spark, snapshot_id=sid1) is None
+    cur = reopened.current_snapshot()["snapshot_id"]
+    assert reopened.snapshot(cur) is not None
+    assert reopened.read(spark).count() == 4
 
 
 def test_multitable_slices_read_cache_not_raw_segments(spark, tmp_path, testdata_dir):
