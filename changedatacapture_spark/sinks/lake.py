@@ -392,13 +392,18 @@ class LakeTable:
         """Explicitly adopt a NEW stream's epoch numbering (after a
         checkpoint wipe/re-point): clears the idempotency window and the
         eviction floor. Exactly-once then restarts from the next commit —
-        only safe when the old stream is truly gone."""
+        only safe when the old stream is truly gone. Published as a NEW
+        snapshot (data untouched, manifests carried by reference) so
+        historical ``snap-*.json`` stay immutable."""
         snap = self.current_snapshot()
         if snap is None:
             return
         new_snap = dict(snap)
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["snapshot_id"] = snap["snapshot_id"] + 1
         new_snap["epochs"] = {}
         new_snap.pop("epoch_floor", None)
+        new_snap["meta"] = dict(snap.get("meta") or {}, epoch_log_reset=True)
         self._publish(new_snap)
 
     def _publish(self, snapshot: dict) -> None:
