@@ -10,10 +10,13 @@ production plug the same way ``multimodal.py`` guards Pillow:
   PYTHON WORKER (a module-level cache keyed by model name — never pickled,
   never re-loaded per batch), and chunks are encoded in ``batch_size``
   slices through ``model.encode`` — the Arrow-batched vectorized path.
-- absent (this container) → a clearly-marked deterministic fallback
-  (``transform.stub_embed_one``, the oracle-pinned md5-arithmetic stub), or
-  a hard ImportError when ``fallback=False`` (production mode: failing
-  quiet would silently ship stub vectors).
+- absent (this container) → a hard ImportError at first batch by DEFAULT
+  (``fallback=False`` — a deployment missing the library on its executor
+  workers must fail loudly, never silently ship stub vectors; ADVICE r4);
+  ``fallback=True`` is the explicit opt-in to the clearly-marked
+  deterministic stub (``transform.stub_embed_one``, the oracle-pinned
+  md5-arithmetic stub), and even then each python worker logs ONE warning
+  to stderr the first time the fallback engages.
 - ``model=`` injects a ready model OBJECT (any ``.encode(list[str]) →
   ndarray``) — the test seam that exercises the real batching path without
   the library (tests/test_embed_adapter.py).
@@ -36,6 +39,24 @@ from .transform import stub_embed_one
 
 # one model instance per python worker process, keyed by model name
 _WORKER_MODELS: dict[str, object] = {}
+# once-per-worker stub-fallback warning latch (keyed by model name)
+_WARNED_FALLBACK: set[str] = set()
+
+
+def _warn_fallback_once(model_name: str) -> None:
+    if model_name in _WARNED_FALLBACK:
+        return
+    _WARNED_FALLBACK.add(model_name)
+    import sys
+
+    print(
+        f"changedatacapture_spark.embed_adapter: sentence-transformers is not "
+        f"importable in this python worker — falling back to the DETERMINISTIC "
+        f"STUB instead of model '{model_name}'. Stub vectors are NOT real "
+        f"embeddings; install the library on executors or pass model=.",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def _load_model(model_name: str):
@@ -65,7 +86,7 @@ def make_model_embed_fn(
     batch_size: int = 64,
     normalize: bool = True,
     model=None,
-    fallback: bool = True,
+    fallback: bool = False,
 ):
     """Build a ``pandas_udf("array<float>")`` suitable for
     ``CdcPipeline(embed_fn=...)`` / ``transform.chunk_pages(embed_fn=...)``.
@@ -77,9 +98,11 @@ def make_model_embed_fn(
 
     ``model`` (test seam / pre-loaded object) takes precedence over
     ``model_name``; it must expose ``encode(list[str], batch_size=...)``
-    returning a 2-D ndarray. With neither the library nor ``model``,
-    ``fallback=True`` degrades to the deterministic stub, ``fallback=False``
-    raises at first batch.
+    returning a 2-D ndarray. With neither the library nor ``model``, the
+    DEFAULT ``fallback=False`` raises ImportError at the first batch —
+    stub vectors must never ship unnoticed (ADVICE r4); ``fallback=True``
+    explicitly opts into the deterministic stub and logs a once-per-worker
+    stderr warning when it engages.
     """
     injected = model
 
@@ -92,6 +115,7 @@ def make_model_embed_fn(
             except ImportError:
                 if not fallback:
                     raise
+                _warn_fallback_once(model_name)
                 return content.map(stub_embed_one)
         # encode ONLY the non-null texts, in batch_size slices — the
         # vectorized shape the model amortizes (tokenizer + forward pass

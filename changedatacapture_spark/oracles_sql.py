@@ -382,6 +382,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT url, op AS last_op, warc_us, pos, val_cents
         FROM r WHERE rn = 1 AND op <> 'd'
     """,
+    # round 5: typed evolved-column promotion — the winner projection with
+    # the same poison rule the Spark side used; x_views re-widened to
+    # VARCHAR (epoch 1 brought 'v###'), x_rank stays BIGINT (every value
+    # numeric → logical type over string-physical parquet)
+    "cdc_evolved_state": f"""
+        WITH w AS ({_WINNERS})
+        SELECT url, pos,
+               CASE WHEN pos % 97 = 0 THEN 'v' || CAST(val_cents AS VARCHAR)
+                    ELSE CAST(val_cents AS VARCHAR) END AS x_views,
+               CAST(val_cents AS BIGINT)                AS x_rank
+        FROM w WHERE op <> 'd'
+    """,
+    # round 5: corrupt-row dead-lettering — every pos%13==0 feed line was
+    # poisoned; quarantine/lineage/live counts recomputed from the same
+    # predicate over the events table
+    "cdc_quarantine": f"""
+        WITH env AS ({_ENV}),
+        good AS (SELECT * FROM env WHERE pos % 13 <> 0),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+          FROM good
+        )
+        SELECT
+          CAST((SELECT count(*) FROM good) AS BIGINT)                  AS n_applied,
+          CAST((SELECT count(*) FROM env WHERE pos % 13 = 0) AS BIGINT) AS n_corrupt,
+          CAST((SELECT count(*) FROM env WHERE pos % 13 = 0) AS BIGINT) AS n_quarantined,
+          CAST((SELECT count(*) FROM r WHERE rn = 1 AND op <> 'd') AS BIGINT) AS n_live
+    """,
     "cdc_lineage_by_segment": f"""
         WITH env AS ({_ENV})
         SELECT CAST(floor(pos / 1000) AS BIGINT) AS segment,

@@ -714,6 +714,103 @@ def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+def cdc_evolved_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed evolved-column promotion end-to-end through the lake (round 5;
+    reference: dynamic JSON field handling, incremental_rag_system.py:
+    216-243). Two evolved columns ride the change log: ``x_rank`` is
+    numeric in every event → the lake serves it as BIGINT (logical type
+    over string-physical parquet); ``x_views`` is numeric in epoch 0 but
+    epoch 1 brings 'v###' strings → the column RE-WIDENS to string, old
+    rows included (metadata-only — no file rewrite). Oracle: the plain
+    LWW fold with the same projection rules."""
+    import tempfile
+
+    from .operators import evolution
+    from .sinks.lake import LakeTable
+
+    env = cdc_envelope(spark, sf_dir).select(
+        "url",
+        "op",
+        F.timestamp_micros(F.col("warc_us")).alias("warc_ts"),
+        "pos",
+        (F.col("op") == "d").cast("int").alias("is_deleted"),
+        "val_cents",
+    )
+    deltas = env.withColumn(
+        "x_views",
+        F.when(
+            F.pmod("pos", F.lit(97)) == 0,
+            F.concat(F.lit("v"), F.col("val_cents").cast("string")),
+        ).otherwise(F.col("val_cents").cast("string")),
+    ).withColumn("x_rank", F.col("val_cents").cast("string"))
+    cols = ["x_views", "x_rank"]
+    d0 = deltas.where(F.pmod("pos", F.lit(97)) != 0)
+    d1 = deltas.where(F.pmod("pos", F.lit(97)) == 0)
+    table = LakeTable(tempfile.mkdtemp(prefix="cdc_evolved_"), key="url", n_buckets=8)
+    table.merge_lww(
+        spark, d0, epoch_id=0, evolved_types=evolution.infer_extra_types(d0, cols)
+    )
+    table.merge_lww(
+        spark, d1, epoch_id=1, evolved_types=evolution.infer_extra_types(d1, cols)
+    )
+    return table.read(spark).select("url", "pos", "x_views", "x_rank")
+
+
+def cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-row dead-lettering end-to-end (round 5; the reference only
+    counts skips, cdc_kafka_consumer.py:57-65): the change log is
+    serialized to a JSONL feed with every pos%13==0 line poisoned; the
+    pipeline must quarantine EXACTLY those lines (dead-letter table +
+    lineage rows_corrupt) and fold the rest — counts the oracle recomputes
+    from the events table with the same poison predicate."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from .operators import envelope as _envelope
+    from .streaming.driver import CdcPipeline
+
+    rows = cdc_envelope(spark, sf_dir).orderBy("pos").collect()
+    lines = []
+    for r in rows:
+        if r["pos"] % 13 == 0:
+            lines.append('{"poisoned-line ' + str(r["pos"]))
+            continue
+        ts = _dt.datetime.utcfromtimestamp(r["warc_us"] / 1e6).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        payload = {"url": r["url"], "warc_ts": ts, "text": f"1. s\nval {r['val_cents']}"}
+        lines.append(
+            _json.dumps(
+                {
+                    "op": r["op"],
+                    "before": payload if r["op"] == "d" else None,
+                    "after": None if r["op"] == "d" else payload,
+                    "source": {"db": "d", "table": "t", "file": "s0", "pos": r["pos"]},
+                    "ts_ms": 0,
+                }
+            )
+        )
+    seg_dir = tempfile.mkdtemp(prefix="cdc_quarantine_seg_")
+    with open(_os.path.join(seg_dir, "segment-0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    pipe = CdcPipeline(
+        tempfile.mkdtemp(prefix="cdc_quarantine_lake_"), n_buckets=8, with_chunks=False
+    )
+    batch = _envelope.read_segments_jsonl(spark, seg_dir, keep_corrupt=True)
+    pipe.apply_batch(batch, epoch_id=0)
+    lin = pipe.lineage.read(spark).agg(
+        F.sum("rows_in").cast("bigint").alias("n_applied"),
+        F.max("rows_corrupt").cast("bigint").alias("n_corrupt"),
+    )
+    nq = pipe.quarantine.read(spark).agg(
+        F.count("*").cast("bigint").alias("n_quarantined")
+    )
+    nl = pipe.pages.read(spark).agg(F.count("*").cast("bigint").alias("n_live"))
+    return lin.crossJoin(nq).crossJoin(nl)
+
+
 QUERIES = {
     "cdc_envelope": cdc_envelope,
     "cdc_lww_winners": cdc_lww_winners,
@@ -724,6 +821,8 @@ QUERIES = {
     "cdc_point_read": cdc_point_read,
     "cdc_lake_point_read": cdc_lake_point_read,
     "cdc_truncate_state": cdc_truncate_state,
+    "cdc_evolved_state": cdc_evolved_state,
+    "cdc_quarantine": cdc_quarantine,
     "cdc_range_slice": cdc_range_slice,
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,

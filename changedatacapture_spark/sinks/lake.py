@@ -88,6 +88,7 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.evolution import widen_type
 from ..operators.lww import _order_key
 
 
@@ -130,12 +131,10 @@ def _bloom_from_pairs(pairs) -> list | None:
     n = len(pairs)
     if n == 0:
         return None
-    m = ((n * _BLOOM_BITS_PER_KEY + 63) // 64) * 64
+    m = _bloom_m_for(n)
     bits = bytearray(m // 8)
     for h1, h2 in pairs:
-        for i in range(_BLOOM_K):
-            pos = (h1 + i * h2) % m
-            bits[pos >> 3] |= 1 << (pos & 7)
+        _bloom_insert(bits, m, h1, h2)
     return [m, _BLOOM_K, base64.b64encode(bytes(bits)).decode("ascii")]
 
 
@@ -143,24 +142,28 @@ def _bloom_build(keys) -> list | None:
     return _bloom_from_pairs(_bloom_hash_pairs(keys))
 
 
-def _pack_pairs(pairs) -> str:
-    """Hash pairs → base64 (the over-the-wire form a split file's partials
-    use so the driver can rebuild one correctly-sized bloom)."""
-    out = bytearray()
-    for h1, h2 in pairs:
-        out += h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
-    return base64.b64encode(bytes(out)).decode("ascii")
+def _bloom_m_for(n_keys: int) -> int:
+    """Bitmap size (bits) for ``n_keys`` keys — the one sizing rule every
+    build path shares, so a bloom built in one pass, from merged hash pairs,
+    or by OR-ing fixed-``m`` partial bitmaps is byte-identical."""
+    return ((n_keys * _BLOOM_BITS_PER_KEY + 63) // 64) * 64
 
 
-def _unpack_pairs(b64: str) -> list[tuple[int, int]]:
-    raw = base64.b64decode(b64)
-    return [
-        (
-            int.from_bytes(raw[i : i + 8], "little"),
-            int.from_bytes(raw[i + 8 : i + 16], "little"),
-        )
-        for i in range(0, len(raw), 16)
-    ]
+def _bloom_insert(bits: bytearray, m: int, h1: int, h2: int) -> None:
+    for i in range(_BLOOM_K):
+        pos = (h1 + i * h2) % m
+        bits[pos >> 3] |= 1 << (pos & 7)
+
+
+def _bloom_or(m: int, bitmaps_b64: list[str]) -> list:
+    """OR fixed-``m`` partial bitmaps into one bloom entry. Bloom insertion
+    commutes, so the OR of per-partition partials equals the single-pass
+    build bit for bit (pinned in tests/test_round4.py)."""
+    acc = bytearray(m // 8)
+    for b64 in bitmaps_b64:
+        for i, byte in enumerate(base64.b64decode(b64)):
+            acc[i] |= byte
+    return [m, _BLOOM_K, base64.b64encode(bytes(acc)).decode("ascii")]
 
 
 def _bloom_may_contain(bloom: list, probe_hashes: list[tuple[int, int]]) -> bool:
@@ -178,6 +181,130 @@ def _bloom_may_contain(bloom: list, probe_hashes: list[tuple[int, int]]) -> bool
     return False
 
 
+class KeyProbe:
+    """A batch's key-probe handle, built WITHOUT collecting key values to the
+    driver (see :func:`build_key_probe`). Accepted wherever ``probe_keys``
+    is — ``read_bucket_winners(probe_keys=probe)``.
+
+    Semantics vs the exact-key-list path:
+
+    - file pruning decisions are bit-identical (same ``_bloom_hashes`` /
+      bitmap test, evaluated in executor python workers); files the probe
+      job never saw (e.g. committed after the probe was built) are
+      conservatively KEPT — the handle records proven MISSES, not hits;
+    - the row filter is a ``left_semi`` join against the (usually cached)
+      keys DataFrame instead of an ``isin`` literal, applied AFTER
+      resolution — the probed keys come back exactly resolved, identical to
+      the exact path (all their files survive pruning; extras are joined
+      away).
+    """
+
+    def __init__(self, keys_df: DataFrame, key: str, misses: dict[str, set[str]]):
+        self.keys_df = keys_df
+        self.key = key
+        self._misses = misses  # table path → abs file paths proven key-free
+        self.stats: dict[str, dict[str, int]] = {}
+
+    def misses_for(self, table_path: str) -> set[str]:
+        return self._misses.get(table_path, set())
+
+
+def build_key_probe(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    key: str,
+    tables: list[tuple["LakeTable", list[int]]],
+) -> KeyProbe:
+    """Executor-side file pruning for a batch's keys: ONE ``mapInPandas``
+    job over ``keys_df`` tests every key against the candidate file blooms
+    of its bucket (candidates = the given tables' touched-bucket files that
+    carry a bloom, broadcast as decoded bitmaps) and returns matched file
+    ids — O(files) small ints to the driver, never O(keys) strings. This
+    replaces the round-4 ``key_skip_max`` driver-side key collect: pruning
+    now survives arbitrarily large batches (VERDICT r4 item 1).
+
+    All tables must share the key column, bucket count, and key-hash
+    bucketing (the pages/chunks pair does by construction). Workers
+    early-out per bucket once every candidate is hit, so huge batches cost
+    one cheap pass over the cached keys, not keys × files bloom tests."""
+    n_buckets = tables[0][0].n_buckets
+    cand: dict[int, list[tuple[int, int, int, bytes]]] = {}
+    owner: list[str] = []  # fid → table path
+    paths: list[str] = []  # fid → abs file path
+    for t, buckets in tables:
+        assert t.bucket_source == "key_hash" and t.key == key, (
+            "build_key_probe needs key-hash-bucketed tables sharing the key"
+        )
+        assert t.n_buckets == n_buckets, "tables must share n_buckets"
+        snap = t.current_snapshot()
+        if snap is None:
+            continue
+        entries = t._entries(snap)
+        for b in buckets:
+            for e in entries.get(str(b), []):
+                if e.get("bloom") is None:
+                    continue  # bloomless/legacy: never prunable, never a miss
+                m, k_, b64 = e["bloom"]
+                fid = len(paths)
+                paths.append(t._abs(e["p"]))
+                owner.append(t.path)
+                cand.setdefault(int(b), []).append(
+                    (fid, int(m), int(k_), base64.b64decode(b64))
+                )
+    probe = KeyProbe(keys_df, key, {t.path: set() for t, _ in tables})
+    probe.stats = {t.path: {"candidates": 0, "pruned": 0} for t, _ in tables}
+    for tp in owner:
+        probe.stats[tp]["candidates"] += 1
+    if not cand:
+        return probe
+    bc = spark.sparkContext.broadcast(cand)
+    src = keys_df.select(
+        F.col(key).cast("string").alias("_k"),
+        _bucket_col(key, n_buckets).alias("_b"),
+    )
+
+    def probe_fn(batches):
+        import pandas as _pd
+
+        c = bc.value
+        remaining = {b: {f[0] for f in lst} for b, lst in c.items()}
+        live = sum(len(r) for r in remaining.values())
+        hit: list[int] = []
+        for pdf in batches:
+            if live == 0:
+                break
+            for kk, bb in zip(pdf["_k"].tolist(), pdf["_b"].tolist()):
+                if live == 0:
+                    break
+                rem = remaining.get(int(bb))
+                if not rem or kk is None:
+                    continue
+                h1, h2 = _bloom_hashes(kk)
+                for fid, m, nk, bits in c[int(bb)]:
+                    if fid not in rem:
+                        continue
+                    ok = True
+                    for i in range(nk):
+                        pos = (h1 + i * h2) % m
+                        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                            ok = False
+                            break
+                    if ok:
+                        hit.append(fid)
+                        rem.discard(fid)
+                        live -= 1
+        yield _pd.DataFrame({"fid": hit}, dtype="int64")
+
+    rows = src.mapInPandas(probe_fn, "fid bigint").collect()
+    bc.unpersist()
+    hits = {int(r["fid"]) for r in rows}
+    for fid in range(len(paths)):
+        if fid not in hits:
+            probe._misses[owner[fid]].add(paths[fid])
+            probe.stats[owner[fid]]["pruned"] += 1
+    return probe
+
+
 class StaleEpochError(RuntimeError):
     """An epoch id below the idempotency window's eviction floor arrived —
     a checkpoint-reset/stale-replay ambiguity the engine refuses to resolve
@@ -185,7 +312,16 @@ class StaleEpochError(RuntimeError):
 
 
 class LakeTable:
-    """A key-bucketed upsert table with snapshot isolation (merge-on-read)."""
+    """A key-bucketed upsert table with snapshot isolation (merge-on-read).
+
+    Deployment note (ADVICE r4): with the default ``file_stats=True`` every
+    merge runs a small distributed stats job (``_file_stats_job``) whose
+    python workers import THIS package — executors must carry
+    ``changedatacapture_spark`` on their ``PYTHONPATH``/``--py-files``
+    (pipelines that ship UDFs already do; a bare library user who cannot
+    ship the package should construct the table with ``file_stats=False``
+    and lose file-level key skipping, never correctness). The same applies
+    to :func:`build_key_probe`."""
 
     def __init__(
         self,
@@ -564,7 +700,7 @@ class LakeTable:
         snap: dict,
         bucket_entries: dict[str, list[dict]],
         columns: list[str] | None = None,
-        probe_keys: list[str] | None = None,
+        probe_keys: "list[str] | KeyProbe | None" = None,
     ) -> DataFrame | None:
         """Per-bucket merge-on-read resolution: a bucket holding ≤1 file is
         resolved by construction (every write method emits ≤1 row-set per key
@@ -576,8 +712,26 @@ class LakeTable:
         row-group stats), and — because blooms have no false negatives —
         every file containing a probe key is kept, so resolution over the
         survivors is exact for those keys. Rows of other keys are filtered
-        out (they may be incompletely resolved after pruning)."""
+        out (they may be incompletely resolved after pruning).
+
+        A :class:`KeyProbe` is accepted in place of the key list: pruning
+        uses its executor-computed proven-miss file set (bit-identical
+        decisions, no key values on the driver) and the row filter becomes
+        a post-resolution ``left_semi`` join against its keys DataFrame —
+        probed keys are exactly resolved either way (their files always
+        survive pruning); KeyProbe results may transiently include other
+        keys' rows before the join removes them."""
         schema = [tuple(c) for c in snap["schema"]]
+        probe = None
+        if isinstance(probe_keys, KeyProbe):
+            probe = probe_keys
+            miss = probe.misses_for(self.path)
+            if miss:
+                bucket_entries = {
+                    b: [e for e in es if self._abs(e["p"]) not in miss]
+                    for b, es in bucket_entries.items()
+                }
+            probe_keys = None  # the exact-path machinery below stays off
         probe_hashes = None
         if probe_keys is not None:
             probe_hashes = [_bloom_hashes(k) for k in probe_keys]
@@ -617,6 +771,17 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if probe is not None:
+            # the KeyProbe row filter: semi-join AFTER resolution (an
+            # exchange before the set-mode window would break the
+            # input_file_name tiebreak — CLAUDE.md invariant), against the
+            # caller's cached keys frame; semi joins ignore right-side
+            # duplicates, so no distinct is needed
+            out = out.join(
+                probe.keys_df.select(F.col(probe.key).alias(self.key)),
+                self.key,
+                "left_semi",
+            )
         return out
 
     def read_raw(
@@ -631,30 +796,53 @@ class LakeTable:
             return None
         return self._read_resolved(spark, snap, self._entries(snap))
 
+    def evolved_types(self) -> dict[str, str]:
+        """Evolved columns' LOGICAL types (snapshot metadata; physical
+        storage is string — see merge_lww). The DESCRIBE surface reports
+        these alongside schema_columns()."""
+        snap = self.current_snapshot()
+        return dict(snap.get("evolved_types") or {}) if snap else {}
+
+    def _typed_view(self, df: DataFrame, snap: dict | None) -> DataFrame:
+        """Apply evolved columns' logical types as read-time casts.
+        ``try_cast`` by construction never fails: a value only reaches a
+        narrow-typed column while every observation parses (widen-only
+        votes), and the cast is skipped for columns typed string."""
+        et = (snap or {}).get("evolved_types") or {}
+        for c, t in et.items():
+            if t != "string" and c in df.columns:
+                q = c.replace("`", "``")
+                df = df.withColumn(c, F.expr(f"try_cast(`{q}` as {t})"))
+        return df
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
         """Public table view: tombstones filtered out; optionally as of a
-        historical ``snapshot_id`` (time travel)."""
+        historical ``snapshot_id`` (time travel). Evolved columns come back
+        in their logical (typed) form — ``read_raw`` keeps the physical
+        string form (compaction must rewrite what it read)."""
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         df = self.read_raw(spark, snapshot_id=snapshot_id)
         if df is None:
             return None
         if "is_deleted" in df.columns:
             df = df.where((F.col("is_deleted").isNull()) | (F.col("is_deleted") == 0))
-        return df
+        return self._typed_view(df, snap)
 
     def read_bucket_winners(
         self,
         spark: SparkSession,
         buckets: list[int],
         columns: list[str] | None = None,
-        probe_keys: list[str] | None = None,
+        probe_keys: "list[str] | KeyProbe | None" = None,
     ) -> DataFrame | None:
         """Resolved current rows (tombstones included) restricted to the given
         buckets, column-pruned to ``columns`` + the key/order columns, and —
-        when ``probe_keys`` is given — bloom-pruned to the files that can
-        contain those keys and row-filtered to exactly them. The driver's
-        pre-MERGE probe: at 100 TB this reads only the touched buckets'
-        *matching* files' key/hash columns, never the payload bytes of
-        unrelated deltas."""
+        when ``probe_keys`` is given (an exact key list or a
+        :class:`KeyProbe` built by :func:`build_key_probe`) — bloom-pruned
+        to the files that can contain those keys and row-filtered to them.
+        The driver's pre-MERGE probe: at 100 TB this reads only the touched
+        buckets' *matching* files' key/hash columns, never the payload bytes
+        of unrelated deltas."""
         snap = self.current_snapshot()
         if snap is None:
             return None
@@ -723,7 +911,7 @@ class LakeTable:
             return None
         if "is_deleted" in df.columns:
             df = df.where((F.col("is_deleted").isNull()) | (F.col("is_deleted") == 0))
-        return df
+        return self._typed_view(df, snap)
 
     # -- write ----------------------------------------------------------------
 
@@ -754,32 +942,31 @@ class LakeTable:
             """SHUFFLE-FREE per-file aggregation: a scan partition holds
             whole files back-to-back (small files are packed), so streaming
             the Arrow batches in order and cutting on file change yields one
-            (file, rows, bloom, hash-pairs) partial per file per partition
-            with no exchange. A file larger than maxPartitionBytes spans
-            partitions and emits several partials; because each partial also
-            carries its packed key-hash pairs (16 B/key, only while under
-            the bloom cap), the driver can rebuild ONE correctly-sized bloom
-            for the whole file — split files keep their pruning instead of
-            silently losing it."""
+            (file, rows, nkeys, bloom) partial per file per partition with
+            no exchange. The partial carries ONLY the counts and the bloom
+            bitmap — never per-key payload (the round-4 packed hash pairs
+            were up to 16 B/key per file through collect, ADVICE r4); a
+            file that spans partitions shows up as several partials and the
+            driver rebuilds its bloom with one targeted second job."""
             import json as _json
 
             import pandas as _pd
 
             cur = None
             n = 0
+            nk = 0
             pairs: list | None = []
 
             def flush():
-                bloom = hashes = None
-                if pairs is not None and 0 < n <= cap:
+                bloom = None
+                if pairs is not None and 0 < nk:
                     bloom = _bloom_from_pairs(pairs)
-                    hashes = _pack_pairs(pairs)
                 return _pd.DataFrame(
                     {
                         "f": [cur],
                         "rows": [n],
+                        "nkeys": [nk],
                         "bloom": [_json.dumps(bloom) if bloom is not None else None],
-                        "hashes": [hashes],
                     }
                 )
 
@@ -788,17 +975,15 @@ class LakeTable:
                     if f != cur:
                         if cur is not None:
                             yield flush()
-                        cur, n, pairs = f, 0, []
+                        cur, n, nk, pairs = f, 0, 0, []
                     n += len(grp)
+                    keys = [k for k in grp["_k"].tolist() if k is not None]
+                    nk += len(keys)
                     if pairs is not None:
-                        if n > cap:
+                        if nk > cap:
                             pairs = None  # over bloom cap: count only
                         else:
-                            pairs.extend(
-                                _bloom_hashes(k)
-                                for k in grp["_k"].tolist()
-                                if k is not None
-                            )
+                            pairs.extend(_bloom_hashes(k) for k in keys)
             if cur is not None:
                 yield flush()
 
@@ -807,28 +992,89 @@ class LakeTable:
             F.col(key).cast("string").alias("_k"),
         )
         collected = src.mapInPandas(
-            per_file_stats, "f string, rows bigint, bloom string, hashes string"
+            per_file_stats, "f string, rows bigint, nkeys bigint, bloom string"
         ).collect()
         partials: dict[str, list] = {}
         for r in collected:
             p = os.path.normpath(unquote(urlparse(r["f"]).path))
             partials.setdefault(p, []).append(r)
         out: dict[str, dict] = {}
+        split_targets: dict[str, int] = {}  # abs path → total non-null keys
         for p, parts in partials.items():
             rows = sum(int(r["rows"]) for r in parts)
+            nkeys = sum(int(r["nkeys"]) for r in parts)
+            bloom = None
             if len(parts) == 1:
                 bloom = json.loads(parts[0]["bloom"]) if parts[0]["bloom"] else None
-            elif rows <= cap and all(r["hashes"] for r in parts):
-                # split file: rebuild one bloom sized for the file's total
-                # key count from the partials' hash pairs
-                merged: list[tuple[int, int]] = []
-                for r in parts:
-                    merged.extend(_unpack_pairs(r["hashes"]))
-                bloom = _bloom_from_pairs(merged)
-            else:
-                bloom = None  # over cap in aggregate: count only
+            elif 0 < nkeys <= cap:
+                # split file (spanned scan partitions): rebuild its bloom
+                # from the data with a second job scoped to just these
+                # files — rare (file > maxPartitionBytes), so the common
+                # path ships no per-key bytes at all
+                split_targets[p] = nkeys
             out[p] = {"rows": rows, "bloom": bloom}
+        if split_targets:
+            for p, bloom in self._split_file_blooms(spark, split_targets).items():
+                out[p]["bloom"] = bloom
         return out
+
+    def _split_file_blooms(
+        self, spark: SparkSession, targets: dict[str, int]
+    ) -> dict[str, list]:
+        """Rebuild full blooms for files that spanned scan partitions: each
+        partition emits a FIXED-``m`` partial bitmap for its slice of the
+        file (``m`` derives from the file's total key count, known from the
+        stats pass) and the driver ORs the bitmaps — bloom insertion
+        commutes, so the result is byte-identical to a single-pass build
+        (pinned in tests/test_round4.py). Payload per partial is O(bitmap),
+        never O(keys)."""
+        key = self.key
+        key_type = dict(self._current_write_schema).get(key, "string")
+        m_by_path = {p: _bloom_m_for(nk) for p, nk in targets.items()}
+
+        def partial_bitmaps(batches):
+            import pandas as _pd
+            from urllib.parse import unquote as _unq, urlparse as _up
+
+            cur = None
+            m = 0
+            bits = None
+
+            def flush():
+                return _pd.DataFrame(
+                    {
+                        "f": [cur],
+                        "bm": [base64.b64encode(bytes(bits)).decode("ascii")],
+                    }
+                )
+
+            for pdf in batches:
+                for f, grp in pdf.groupby("_f", sort=False):
+                    p = os.path.normpath(_unq(_up(f).path))
+                    if p != cur:
+                        if cur is not None:
+                            yield flush()
+                        cur = p
+                        m = m_by_path[p]
+                        bits = bytearray(m // 8)
+                    for k in grp["_k"].tolist():
+                        if k is not None:
+                            h1, h2 = _bloom_hashes(k)
+                            _bloom_insert(bits, m, h1, h2)
+            if cur is not None:
+                yield flush()
+
+        src = spark.read.schema(f"`{key}` {key_type}").parquet(
+            *sorted(targets)
+        ).select(
+            F.input_file_name().alias("_f"),
+            F.col(key).cast("string").alias("_k"),
+        )
+        rows = src.mapInPandas(partial_bitmaps, "f string, bm string").collect()
+        by_path: dict[str, list[str]] = {}
+        for r in rows:
+            by_path.setdefault(r["f"], []).append(r["bm"])
+        return {p: _bloom_or(m_by_path[p], bms) for p, bms in by_path.items()}
 
     def _write_buckets(self, df: DataFrame, snapshot_id: int) -> dict[str, list[dict]]:
         """Write df (already carrying _bucket) partitioned by bucket into an
@@ -883,6 +1129,7 @@ class LakeTable:
         extra_meta: dict | None = None,
         keep_files: dict[str, list[dict]] | None = None,
         truncate: list | None = None,
+        evolved_types: dict[str, str] | None = None,
     ) -> dict:
         """Publish a snapshot. Manifest references of untouched buckets are
         carried over by name (no rewrite); only changed buckets get a new
@@ -943,6 +1190,13 @@ class LakeTable:
         horizon = max(
             (list(t) for t in (prev_tr, truncate) if t is not None), default=None
         )
+        # evolved-column LOGICAL types: monotone widen-only fold of per-batch
+        # votes (operators.evolution.widen_type); the physical column stays
+        # string, so a widen is pure metadata — carried forward by every
+        # commit (compaction/replace included), like the truncate horizon
+        etypes = dict(snap.get("evolved_types") or {}) if snap else {}
+        for c, t in (evolved_types or {}).items():
+            etypes[c] = widen_type(etypes.get(c), t)
         new_snap = {
             "snapshot_id": sid,
             "parent": parent,
@@ -957,6 +1211,8 @@ class LakeTable:
             new_snap["epoch_floor"] = epoch_floor
         if horizon is not None:
             new_snap["truncate"] = horizon
+        if etypes:
+            new_snap["evolved_types"] = etypes
         self._publish(new_snap)
         # evict superseded manifests from the in-memory cache: over 10^5
         # epochs every commit adds O(touched buckets) entries and the
@@ -1004,6 +1260,7 @@ class LakeTable:
         epoch_id: int | None,
         pre_reduced: bool,
         truncate: list | None = None,
+        evolved_types: dict[str, str] | None = None,
     ) -> dict | None:
         if epoch_id is not None and self._check_epoch(epoch_id):
             return None  # exactly-once: this micro-batch already applied
@@ -1033,6 +1290,7 @@ class LakeTable:
             append=True,
             resolved=not had_files,
             truncate=truncate,
+            evolved_types=evolved_types,
         )
 
     def merge_lww(
@@ -1043,8 +1301,14 @@ class LakeTable:
         *,
         pre_reduced: bool = False,
         truncate: list | None = None,
+        evolved_types: dict[str, str] | None = None,
     ) -> dict | None:
         """MERGE the batch's rows into the table under LWW.
+
+        ``evolved_types``: per-batch logical-type votes for evolved columns
+        (operators.evolution.infer_extra_types) — folded widen-only into
+        the snapshot's ``evolved_types`` metadata and applied as read-time
+        casts (see :meth:`read`); physical storage stays string.
 
         ``truncate``: order-key triple [k0, k1, k2] of a TRUNCATE event
         (op='t', QUICK_START.md:282-288) observed in this batch — recorded
@@ -1069,7 +1333,12 @@ class LakeTable:
         log make it idempotent.
         """
         return self._append_commit(
-            spark, deltas, epoch_id, pre_reduced=pre_reduced, truncate=truncate
+            spark,
+            deltas,
+            epoch_id,
+            pre_reduced=pre_reduced,
+            truncate=truncate,
+            evolved_types=evolved_types,
         )
 
     def merge_sets(

@@ -4,7 +4,7 @@
         scripts/run_pipeline.py --segments DIR --lake DIR --checkpoint DIR \
         [--tail] [--buckets N] [--max-files N] [--embeddings] \
         [--tables pages,authors] [--ann-index DIR] \
-        [--compact-min-files K] [--expire-keep N]
+        [--compact-min-files K] [--expire-keep N] [--adopt-new-stream]
 """
 
 from __future__ import annotations
@@ -45,6 +45,16 @@ def main():
         help="path of an IncrementalVectorIndex kept fresh per epoch (implies --embeddings)",
     )
     ap.add_argument("--ann-planes", type=int, default=8)
+    ap.add_argument(
+        "--adopt-new-stream", action="store_true",
+        help="explicitly adopt a NEW stream's epoch numbering against the "
+        "existing lake (after an intentional checkpoint wipe/re-point): "
+        "resets the epoch log of EVERY pipeline table atomically before "
+        "starting. Without this, a re-pointed stream whose epoch ids fall "
+        "below the lake's idempotency floor fails loudly with "
+        "StaleEpochError instead of silently dropping or double-applying "
+        "data. Only safe when the old stream is truly gone.",
+    )
     args = ap.parse_args()
 
     from changedatacapture_spark.streaming.driver import CdcPipeline, MultiTablePipeline
@@ -81,6 +91,8 @@ def main():
             pipe.ann_index = IncrementalVectorIndex(
                 args.ann_index, n_planes=args.ann_planes
             )
+    if args.adopt_new_stream:
+        pipe.reset_epoch_logs()
     query = pipe.run_stream(
         spark,
         args.segments,

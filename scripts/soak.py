@@ -108,6 +108,11 @@ def main():
             m[t].ann_index = IncrementalVectorIndex(
                 os.path.join(wd, "ix", t), n_planes=4
             )
+            # small idempotency windows so the run EXERCISES the eviction
+            # floor (and phase 3's re-point lands below it — with the
+            # default 1000-epoch window a ~16-epoch soak never would)
+            for lk in (m[t].pages, m[t].chunks, m[t].ann_index.table):
+                lk.epoch_window = 4
         return m
 
     # phase 1: only half the segments visible → stream drains them and stops
@@ -132,6 +137,75 @@ def main():
                      max_files_per_trigger=2, timeout_sec=7200)
     phase2_sec = time.monotonic() - t0
     print(f"[soak] phase 2 (restart) done in {phase2_sec:.0f}s (budget {budget:.0f}s)", flush=True)
+
+    # ---- phase 3: checkpoint re-point + explicit adoption (VERDICT r4 #7).
+    # A NEW feed (disjoint urls, later event times) with a WIPED checkpoint
+    # restarts epoch numbering at 0 — below the idempotency floor the small
+    # epoch_window raised during phases 1-2. Without adoption the stream must
+    # fail LOUDLY (StaleEpochError — silent skip was the ADVICE r4 data-loss
+    # hole); with the pipeline-level reset_epoch_logs() it drains cleanly and
+    # the final assertions below cover old+new state together.
+    import pyarrow.parquet as _pq
+
+    from changedatacapture_spark.gen import (
+        T0,
+        _arrow_envelope_schema,
+        _to_arrow_row,
+    )
+
+    seg2 = os.path.join(wd, "binlog_repoint")
+    os.makedirs(seg2, exist_ok=True)
+    repoint_events = []
+    import datetime as _dt
+
+    for i in range(200):
+        repoint_events.append(
+            {
+                "op": "c",
+                "before": None,
+                "after": {
+                    "url": f"https://repoint.example/u{i}",
+                    "warc_ts": T0 + _dt.timedelta(days=30, seconds=i),
+                    "html": None,
+                    "text": f"1. repoint\nre-pointed body {i}",
+                    "lang": "en",
+                    "extra": None,
+                },
+                "source": {"db": "d", "table": "pages", "file": "rp0", "pos": 10_000_000 + i},
+                "ts_ms": 0,
+            }
+        )
+    import pyarrow as _pa
+
+    _pq.write_table(
+        _pa.Table.from_pylist(
+            [_to_arrow_row(r) for r in repoint_events], schema=_arrow_envelope_schema()
+        ),
+        os.path.join(seg2, "segment-00000.parquet"),
+    )
+    floor = multi["pages"].pages.current_snapshot().get("epoch_floor", -1)
+    assert int(floor) >= 0, f"soak never raised the epoch floor (floor={floor})"
+
+    t0 = time.monotonic()
+    raised = None
+    try:
+        mk_pipes().run_stream(spark, seg2, os.path.join(wd, "ckpt2"),
+                              max_files_per_trigger=2, timeout_sec=600)
+    except Exception as e:  # StreamingQueryException wraps the python error
+        raised = e
+    if raised is None or "StaleEpochError" not in str(raised):
+        print(f"[soak] FAILED: re-point without adoption did not raise "
+              f"StaleEpochError (got: {type(raised).__name__ if raised else 'no error'})")
+        sys.exit(1)
+
+    shutil.rmtree(os.path.join(wd, "ckpt2"), ignore_errors=True)
+    multi = mk_pipes()
+    multi.reset_epoch_logs()
+    multi.run_stream(spark, seg2, os.path.join(wd, "ckpt2"),
+                     max_files_per_trigger=2, timeout_sec=7200)
+    phase3_sec = time.monotonic() - t0
+    print(f"[soak] phase 3 (re-point + adoption) done in {phase3_sec:.0f}s", flush=True)
+    events = events + repoint_events
 
     def _rows(df):
         return [] if df is None else df.collect()
@@ -165,6 +239,25 @@ def main():
                 if [g["content"] for g in rows] != [e["content"] for e in exp_chunks[url]]:
                     failures.append(f"{t}: chunk bytes differ for {url}")
                     break
+
+        # typed evolved columns round-trip (VERDICT r4 item 5): the
+        # generator's evolved fields are fetch_status="200" (all-numeric →
+        # logical bigint) and title-###" strings (→ string); the public
+        # read() must serve the typed view over the string-physical files
+        et = pipe.pages.evolved_types()
+        if et:
+            if et.get("x_fetch_status") != "bigint" or et.get("x_title") != "string":
+                failures.append(f"{t}: evolved types wrong: {et}")
+            else:
+                tv = {
+                    r["x_fetch_status"]
+                    for r in _rows(pipe.pages.read(spark).select("x_fetch_status"))
+                    if r["x_fetch_status"] is not None
+                }
+                if tv != {200}:
+                    failures.append(f"{t}: typed x_fetch_status values {tv}")
+        elif [e for e in events if e["source"]["table"] == t and (e.get("after") or {}).get("extra")]:
+            failures.append(f"{t}: evolution happened but no evolved_types recorded")
 
         ch = pipe.chunks.read(spark)
         exp_ids = (

@@ -138,9 +138,10 @@ def test_adapter_batching_path_and_reuse_gating(spark, tmp_path):
 
 
 def test_adapter_fallback_matches_pinned_stub(spark):
-    """Without sentence-transformers (this container) and no injected model,
-    the adapter degrades to the byte-pinned deterministic stub — same
-    vectors the DuckDB oracle recomputes."""
+    """With fallback=True explicitly opted in (the r5 default is False —
+    a missing library must raise, ADVICE r4), the adapter degrades to the
+    byte-pinned deterministic stub — same vectors the DuckDB oracle
+    recomputes."""
     assert not have_sentence_transformers(), (
         "container grew the real library — this test now needs a skip guard"
     )
@@ -150,7 +151,7 @@ def test_adapter_fallback_matches_pinned_stub(spark):
         [("a", "1. s\nhello world"), ("b", "2. t\nanother text"), ("c", None)],
         "id string, content string",
     ).repartition(2)
-    fn = make_model_embed_fn()  # no model, library absent → stub fallback
+    fn = make_model_embed_fn(fallback=True)  # explicit opt-in to the stub
     rows = (
         df.withColumn("adapter", fn(df["content"]))
         .withColumn("stub", embed_stub_udf(df["content"]))
@@ -160,3 +161,17 @@ def test_adapter_fallback_matches_pinned_stub(spark):
         a = None if r["adapter"] is None else list(r["adapter"])
         s = None if r["stub"] is None else list(r["stub"])
         assert a == s, f"fallback diverged from the pinned stub for id={r['id']}"
+
+
+def test_adapter_default_raises_without_library(spark):
+    """DEFAULT behavior without the library and without model=: the first
+    batch raises ImportError instead of silently shipping stub vectors
+    (ADVICE r4 low — fallback is opt-in now)."""
+    assert not have_sentence_transformers()
+    import pytest
+
+    df = spark.createDataFrame([("a", "text")], "id string, content string")
+    fn = make_model_embed_fn()
+    with pytest.raises(Exception) as ei:
+        df.withColumn("v", fn(df["content"])).collect()
+    assert "ImportError" in str(ei.value) or "sentence_transformers" in str(ei.value)

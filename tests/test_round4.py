@@ -158,26 +158,33 @@ def test_vacuum_records_expired_ids_no_existence_walk(spark, tmp_path):
 
 
 def test_split_file_bloom_partials_rebuild_exactly(spark, tmp_path):
-    """A file larger than maxPartitionBytes spans scan partitions and emits
-    hash-pair partials; the driver must rebuild the SAME bloom the
+    """A file larger than maxPartitionBytes spans scan partitions; the
+    targeted second stats job must rebuild the SAME bloom the
     single-partition path would have built (split files keep their pruning —
     they'd otherwise lose it exactly where it matters most, big base files).
     Forced by shrinking the session's split size so a small commit splits."""
+    import base64
+
     from changedatacapture_spark.sinks.lake import (
         _bloom_build,
-        _bloom_from_pairs,
-        _pack_pairs,
-        _unpack_pairs,
+        _bloom_hash_pairs,
+        _bloom_insert,
+        _bloom_m_for,
+        _bloom_or,
     )
 
-    # the rebuild math: partial pair-lists merged in any order give the
-    # byte-identical bloom of the whole key set
+    # the rebuild math: fixed-m partial bitmaps OR'd in any order give the
+    # byte-identical bloom of the whole key set (bloom insertion commutes) --
+    # the r5 split-file path ships O(bitmap) partials, never per-key pairs
     keys = [f"u{i}" for i in range(1000)]
-    from changedatacapture_spark.sinks.lake import _bloom_hash_pairs
-
-    a, b = _bloom_hash_pairs(keys[:300]), _bloom_hash_pairs(keys[300:])
-    merged = _unpack_pairs(_pack_pairs(a)) + _unpack_pairs(_pack_pairs(b))
-    assert _bloom_from_pairs(merged) == _bloom_build(keys)
+    m = _bloom_m_for(len(keys))
+    partial_b64 = []
+    for slc in (keys[:300], keys[300:]):
+        bits = bytearray(m // 8)
+        for h1, h2 in _bloom_hash_pairs(slc):
+            _bloom_insert(bits, m, h1, h2)
+        partial_b64.append(base64.b64encode(bytes(bits)).decode("ascii"))
+    assert _bloom_or(m, partial_b64[::-1]) == _bloom_build(keys)
 
     # end-to-end: force multi-partition scans of the freshly written files
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
