@@ -43,9 +43,15 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 def build_spark(cores: int):
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_MASTER overrides the master URL — used by bench_scaling's
+    # --cluster mode to run the same job under local-cluster[E,C,M] (separate
+    # executor JVMs: real serialization/broadcast boundaries local[N] hides).
+    # `cores` still names the TOTAL core count for shuffle sizing/labels.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     return (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(f"cdc-bench-{cores}")
+        .config("spark.executorEnv.PYTHONPATH", REPO)
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cores * 2, 16))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -17,7 +17,13 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level(cores: int, sf_dir: str, events: int | None, mode: str = "cdc_stream") -> dict:
+def run_level(
+    cores: int,
+    sf_dir: str,
+    events: int | None,
+    mode: str = "cdc_stream",
+    cluster: bool = False,
+) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "bench.py"),
@@ -30,7 +36,14 @@ def run_level(cores: int, sf_dir: str, events: int | None, mode: str = "cdc_stre
     ]
     if events:
         cmd += ["--events", str(events)]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    env = dict(os.environ)
+    if cluster:
+        # SEPARATE executor JVMs (VERDICT r4 item 3): scale EXECUTOR COUNT
+        # at 2 cores each, so the N→4N pair crosses real serialization /
+        # broadcast / python-worker boundaries that local[N] threads hide
+        assert cores % 2 == 0, "cluster levels must be even (2 cores/executor)"
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cores // 2},2,4096]"
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -47,6 +60,14 @@ def main():
         default="8,32",
         help="comma-separated core counts for N and 4N (e.g. 2,8 or 8,32)",
     )
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="run each level under local-cluster[cores/2,2,4096] (separate "
+        "executor JVMs — real serialization/broadcast boundaries); prints "
+        "the pair and SKIPS rewriting BENCH/BASELINE.md (record the number "
+        "in the hand-written addendum)",
+    )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
@@ -58,22 +79,33 @@ def main():
     all_runs: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(args.repeat):
         for cores in (lo, hi):
-            r = run_level(cores, args.sf_dir, args.events, mode=args.mode)
+            r = run_level(cores, args.sf_dir, args.events, mode=args.mode, cluster=args.cluster)
             rate = r["steady_events_per_sec"] if args.mode == "cdc_stream" else r["events_per_sec"]
             all_runs[cores].append(rate)
             best = results.get(cores)
             if best is None or rate > best["_rate"]:
                 r["_rate"] = rate
                 results[cores] = r
-            print(f"local[{cores}]: {rate} events/s", flush=True)
+            label = f"local-cluster[{cores // 2},2]" if args.cluster else f"local[{cores}]"
+            print(f"{label}: {rate} events/s", flush=True)
     for cores in (lo, hi):
-        print(f"local[{cores}] best: {results[cores]['_rate']} events/s "
+        print(f"cores={cores} best: {results[cores]['_rate']} events/s "
               f"(all: {all_runs[cores]})", flush=True)
 
     rate_n = results[lo]["_rate"]
     rate_4n = results[hi]["_rate"]
     eff = (rate_4n / rate_n) / (hi / lo)
     n_events = results[lo].get("replay_events") or args.events
+    if args.cluster:
+        print(json.dumps({
+            "mode": args.mode,
+            "cluster": True,
+            "levels": [lo, hi],
+            "rate_n": rate_n,
+            "rate_4n": rate_4n,
+            "efficiency": round(eff, 3),
+        }))
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # preserve the hand-written addendum (host calibration, 100 TB

@@ -105,10 +105,27 @@ def main():
             gen_vec(F.col("id")).alias("embedding"),
         )
 
-    def timed_search(idx, q):
+    def timed_search(idx, q, n_probes=8):
         t0 = time.monotonic()
-        idx.search(spark, q, k=10, n_probes=8).collect()
-        return time.monotonic() - t0
+        got = idx.search(spark, q, k=10, n_probes=n_probes).collect()
+        return time.monotonic() - t0, got
+
+    def exact_topk(q):
+        """Brute-force cosine top-10 over the live id space (vectors are
+        version-stable per id, so the live set is ids 0..base) — the recall
+        denominator (VERDICT r4 item 6: recall at volume, not just sf0.1)."""
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        ids = spark.range(0, args.base, 1, numPartitions=args.cores * 2)
+        score = F.aggregate(
+            F.zip_with(gen_vec(F.col("id")), qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rows = ids.select("id", score.alias("s")).orderBy(F.desc("s")).limit(10).collect()
+        return {f"c{r['id']}" for r in rows}
+
+    def recall_of(got_rows, exact_ids):
+        return round(len({r["chunk_id"] for r in got_rows} & exact_ids) / len(exact_ids), 2)
 
     levels = [int(x) for x in args.levels.split(",")]
     for d in levels:
@@ -124,20 +141,43 @@ def main():
             idx.upsert(spark, rows(ids, e + 1), epoch_id=e + 1)
 
         q = vec_of(12345)
+        exact = exact_topk(q)
         fpb = idx.table.max_files_per_bucket()
         total_files = sum(len(v) for v in idx.table.bucket_files().values())
 
-        best = 1e9
+        best, got = 1e9, None
         for _ in range(args.repeat + 1):  # first run warms the plan
-            best = min(best, timed_search(idx, q))
+            sec, rows_out = timed_search(idx, q)
+            if sec < best:
+                best = sec
+            got = rows_out
+
+        # recall-vs-probes sweep (VERDICT r4 item 6): isotropic gaussian
+        # vectors are LSH's WORST case (no cluster structure — true top-10
+        # barely separates from the bulk), so absolute recall here is a
+        # floor; the signal is margin ordering, i.e. recall >> the
+        # chance baseline n_probes/256, and rising monotonically with
+        # probes toward 1.0. The ≥0.9 pins on structured (stub-embedding)
+        # data live in tests/test_similarity.py.
+        sweep = {}
+        for npb in (8, 32, 96, 256):
+            s_sec, s_got = timed_search(idx, q, n_probes=npb)
+            sweep[npb] = {
+                "recall": recall_of(s_got, exact),
+                "chance": round(npb / 256, 3),
+                "sec": round(s_sec, 3),
+            }
 
         t0 = time.monotonic()
         idx.compact(spark, min_files=4)
         compact_sec = time.monotonic() - t0
         fpb_after = idx.table.max_files_per_bucket()
-        best_after = 1e9
+        best_after, got_after = 1e9, None
         for _ in range(args.repeat):
-            best_after = min(best_after, timed_search(idx, q))
+            sec, rows_out = timed_search(idx, q)
+            if sec < best_after:
+                best_after = sec
+            got_after = rows_out
 
         print(
             json.dumps(
@@ -146,9 +186,12 @@ def main():
                     "files_per_bucket": fpb,
                     "total_files": total_files,
                     "search_sec": round(best, 3),
+                    "recall_at10": recall_of(got, exact),
+                    "recall_vs_probes": sweep,
                     "compact_min_files_sec": round(compact_sec, 3),
                     "files_per_bucket_after": fpb_after,
                     "search_after_compact_sec": round(best_after, 3),
+                    "recall_after_compact": recall_of(got_after, exact),
                 }
             ),
             flush=True,
