@@ -204,6 +204,12 @@ class KeyProbe:
         self.key = key
         self._misses = misses  # table path → abs file paths proven key-free
         self.stats: dict[str, dict[str, int]] = {}
+        # row_filter=False: skip the post-resolution semi join. ONLY safe for
+        # callers that themselves join the result on the probed keys (the
+        # CDC driver: every consumer left-joins the batch frame on url, so
+        # extra keys — including under-resolved non-probed ones — drop
+        # there). The public default keeps the exact-keys contract.
+        self.row_filter = True
 
     def misses_for(self, table_path: str) -> set[str]:
         return self._misses.get(table_path, set())
@@ -214,6 +220,8 @@ def build_key_probe(
     keys_df: DataFrame,
     key: str,
     tables: list[tuple["LakeTable", list[int]]],
+    bucket_counts: dict[int, int] | None = None,
+    max_probes_per_bucket: int = 384,
 ) -> KeyProbe:
     """Executor-side file pruning for a batch's keys: ONE ``mapInPandas``
     job over ``keys_df`` tests every key against the candidate file blooms
@@ -226,8 +234,22 @@ def build_key_probe(
     All tables must share the key column, bucket count, and key-hash
     bucketing (the pages/chunks pair does by construction). Workers
     early-out per bucket once every candidate is hit, so huge batches cost
-    one cheap pass over the cached keys, not keys × files bloom tests."""
+    one cheap pass over the cached keys, not keys × files bloom tests.
+
+    ``bucket_counts`` (per-bucket batch row counts, free from
+    ``probe_batch``) gates the job on whether pruning is even possible:
+    at ~1% bloom FP per probe, a file probed by p keys survives with
+    probability ≥ 1−0.99^p — above ``max_probes_per_bucket`` (default 384:
+    survival ≥97.9%) essentially every file hits, so those buckets'
+    candidates are skipped (files conservatively kept) and a batch that is
+    dense in EVERY bucket runs no job at all. Dense batches thereby keep
+    the plain bucket-scope read (zero overhead — the r4 behavior); sparse
+    batches — the 10^5-bucket production regime where probes-per-bucket is
+    small — keep full file pruning."""
     n_buckets = tables[0][0].n_buckets
+    dense = set()
+    if bucket_counts is not None:
+        dense = {b for b, n in bucket_counts.items() if n > max_probes_per_bucket}
     cand: dict[int, list[tuple[int, int, int, bytes]]] = {}
     owner: list[str] = []  # fid → table path
     paths: list[str] = []  # fid → abs file path
@@ -241,6 +263,8 @@ def build_key_probe(
             continue
         entries = t._entries(snap)
         for b in buckets:
+            if b in dense:
+                continue  # pruning mathematically dead at this probe count
             for e in entries.get(str(b), []):
                 if e.get("bloom") is None:
                     continue  # bloomless/legacy: never prunable, never a miss
@@ -771,7 +795,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if probe is not None:
+        if probe is not None and probe.row_filter:
             # the KeyProbe row filter: semi-join AFTER resolution (an
             # exchange before the set-mode window would break the
             # input_file_name tiebreak — CLAUDE.md invariant), against the
@@ -1228,10 +1252,14 @@ class LakeTable:
             return [{"p": p, "rows": None, "bloom": None} for p in ref]
         return list(self._load_manifest(ref))
 
-    def probe_batch(self, deltas: DataFrame, has_extra: bool = True) -> tuple[list[int], list[str]]:
-        """One job returning (touched buckets, observed evolved-column keys) —
-        fuses the schema-evolution probe and the pre-MERGE bucket probe so the
-        driver pays a single scheduler round-trip per epoch."""
+    def probe_batch(
+        self, deltas: DataFrame, has_extra: bool = True
+    ) -> tuple[list[int], list[str], dict[int, int]]:
+        """One job returning (touched buckets, observed evolved-column keys,
+        per-bucket row counts) — fuses the schema-evolution probe and the
+        pre-MERGE bucket probe so the driver pays a single scheduler
+        round-trip per epoch. The counts feed :func:`build_key_probe`'s
+        is-pruning-even-possible gate."""
         aggs = [F.count("*").alias("_n")]
         if has_extra and "extra" in deltas.columns:
             aggs.append(
@@ -1251,7 +1279,8 @@ class LakeTable:
         for r in rows:
             if "_ks" in r.__fields__:
                 keys.update(r["_ks"])
-        return touched, sorted(keys)
+        counts = {int(r["_b"]): int(r["_n"]) for r in rows}
+        return touched, sorted(keys), counts
 
     def _append_commit(
         self,

@@ -161,7 +161,7 @@ class CdcPipeline:
         winners_raw.persist()
         # one fused probe job: materializes the cache AND returns the MERGE's
         # touched buckets + newly-observed evolved columns
-        touched, keys = self.pages.probe_batch(winners_raw)
+        touched, keys, bucket_counts = self.pages.probe_batch(winners_raw)
         mark("winners_probe", tick)
         # the per-event transform on the ~|keys| winners, not the |events|
         # raw stream
@@ -214,7 +214,13 @@ class CdcPipeline:
                     winners_raw.select("url"),
                     "url",
                     [(self.pages, touched), (self.chunks, touched)],
+                    bucket_counts=bucket_counts,
                 )
+                # the driver's consumers ALL left-join the batch frame on
+                # url, so the probe's semi-join row filter is redundant
+                # work here — file pruning is the whole benefit (extra /
+                # under-resolved non-batch rows drop in those joins)
+                probe_keys.row_filter = False
                 phases["probe_pruned"] = sum(
                     s["pruned"] for s in probe_keys.stats.values()
                 )
