@@ -222,6 +222,7 @@ def build_key_probe(
     tables: list[tuple["LakeTable", list[int]]],
     bucket_counts: dict[int, int] | None = None,
     max_probes_per_bucket: int = 384,
+    snapshots: dict[str, dict] | None = None,
 ) -> KeyProbe:
     """Executor-side file pruning for a batch's keys: ONE ``mapInPandas``
     job over ``keys_df`` tests every key against the candidate file blooms
@@ -258,7 +259,10 @@ def build_key_probe(
             "build_key_probe needs key-hash-bucketed tables sharing the key"
         )
         assert t.n_buckets == n_buckets, "tables must share n_buckets"
-        snap = t.current_snapshot()
+        # ``snapshots``: probe a historical snapshot's files instead of the
+        # current ones (table path → snapshot dict) — the change feed's
+        # pre-window existence probe uses this
+        snap = (snapshots or {}).get(t.path) or t.current_snapshot()
         if snap is None:
             continue
         entries = t._entries(snap)
@@ -329,6 +333,15 @@ def build_key_probe(
     return probe
 
 
+class ChangeFeedUnavailableError(RuntimeError):
+    """The requested snapshot window cannot be served as a change feed —
+    a window snapshot expired (vacuum reclaimed its files), a rewrite
+    (replace_keys) or un-flagged truncate lies inside it, or the window
+    predates change-feed metadata. The consumer must re-sync from a full
+    ``read()`` — silently serving a partial feed would desynchronize any
+    downstream mirror. Size ``retention_snapshots`` to the consumer lag."""
+
+
 class StaleEpochError(RuntimeError):
     """An epoch id below the idempotency window's eviction floor arrived —
     a checkpoint-reset/stale-replay ambiguity the engine refuses to resolve
@@ -357,6 +370,7 @@ class LakeTable:
         file_stats: bool = True,
         bloom_max_keys: int = 200_000,
         bucket_source: str = "key_hash",
+        retention_snapshots: int = 0,
     ):
         assert mode in ("row", "set", "replace")
         assert bucket_source in ("key_hash", "column")
@@ -373,6 +387,12 @@ class LakeTable:
         # huge buckets) get no bloom and are conservatively always read.
         self.file_stats = file_stats
         self.bloom_max_keys = bloom_max_keys
+        # vacuum keeps the files of the newest `retention_snapshots`
+        # non-expired snapshots alive in addition to the current one — the
+        # time-travel / change-feed retention window (Iceberg's
+        # expire-snapshots contract). 0 = reclaim everything superseded
+        # immediately (the pre-round-5 behavior).
+        self.retention_snapshots = int(retention_snapshots)
         # sliding idempotency-window size (epochs kept verbatim in the
         # snapshot); ids evicted from it raise the monotone epoch_floor —
         # tests shrink this to exercise the floor without 1000 commits
@@ -564,6 +584,8 @@ class LakeTable:
         new_snap["epochs"] = {}
         new_snap.pop("epoch_floor", None)
         new_snap["meta"] = dict(snap.get("meta") or {}, epoch_log_reset=True)
+        new_snap["kind"] = "meta"
+        new_snap.pop("added", None)
         self._publish(new_snap)
 
     def _publish(self, snapshot: dict) -> None:
@@ -852,6 +874,264 @@ class LakeTable:
             df = df.where((F.col("is_deleted").isNull()) | (F.col("is_deleted") == 0))
         return self._typed_view(df, snap)
 
+    # -- incremental reads (change feed) --------------------------------------
+
+    @staticmethod
+    def _prune_entries_since(entries: list[dict], lo: list) -> list[dict]:
+        """Order-key file skipping: drop files whose max (k0,k1,k2) is ≤ the
+        probe — every row in them is at-or-below ``lo``, so none can be a
+        winner above it. Files without bounds (legacy / stats off / null
+        order components) are always kept — conservative, never lossy."""
+        lo_t = tuple(int(x) for x in lo)
+        return [
+            e for e in entries if e.get("o") is None or tuple(e["o"][1]) > lo_t
+        ]
+
+    def files_for_since(self, lo: list, snapshot_id: int | None = None) -> list[str]:
+        """Introspection twin of :meth:`read_since`'s file pruning — the
+        files a tail read above ``lo`` actually scans (tests pin that this
+        is a strict subset once old epochs' files fall below the probe)."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
+        if snap is None:
+            return []
+        return sorted(
+            self._abs(e["p"])
+            for es in self._entries(snap).values()
+            for e in self._prune_entries_since(es, lo)
+        )
+
+    def read_since(
+        self,
+        spark: SparkSession,
+        lo: list,
+        *,
+        include_deletes: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Event-time tail read: the table's current winners whose LWW order
+        key is strictly above ``lo`` ([k0, k1, k2] — the same triple as the
+        truncate horizon; build it from (op, unix-micros ts, pos) via
+        operators.lww.order_key_cols semantics). This is "what changed since
+        ts" WITHOUT scanning the table: files whose max order key is ≤ lo
+        are pruned from the snapshot's manifest stats, so a tail over a
+        10^10-row table reads O(recent commits), not O(table).
+
+        Soundness of pruning + resolve + filter: a pruned file holds only
+        rows ≤ lo, so (1) it cannot contain any winner above lo, and (2) it
+        cannot out-rank a kept row that is above lo. Resolution over the
+        kept files therefore yields the true winner for every key whose
+        winner is above lo; keys whose true winner is ≤ lo may surface a
+        stale apparent winner, but that row is also ≤ lo and dies on the
+        final ``order > lo`` filter.
+
+        ``include_deletes=True`` keeps tombstone winners and adds a
+        ``_change_type`` column ('delete'/'upsert') — the downstream-sync
+        feed shape (the reference's Pinecone updater consumes exactly
+        upserts + deletes, incremental_pinecone_updater.py). Default mirrors
+        ``read()`` (live rows only). Returns None for an empty table."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
+        if snap is None:
+            return None
+        pruned = {
+            b: self._prune_entries_since(es, lo)
+            for b, es in self._entries(snap).items()
+        }
+        pruned = {b: es for b, es in pruned.items() if es}
+        df = self._read_resolved(spark, snap, pruned)
+        if df is None:
+            return None
+        if not {"op", "warc_ts", "pos"}.issubset(df.columns):
+            raise ValueError("read_since needs the LWW order columns")
+        df = df.where(_order_key() > _truncate_lit(lo))
+        if include_deletes:
+            df = df.withColumn(
+                "_change_type",
+                F.when(
+                    F.coalesce(F.col("is_deleted"), F.lit(0)) == 1, F.lit("delete")
+                ).otherwise(F.lit("upsert"))
+                if "is_deleted" in df.columns
+                else F.lit("upsert"),
+            )
+        elif "is_deleted" in df.columns:
+            df = df.where((F.col("is_deleted").isNull()) | (F.col("is_deleted") == 0))
+        return self._typed_view(df, snap)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_snapshot_id: int,
+        until_snapshot_id: int | None = None,
+        *,
+        allow_truncate: bool = False,
+    ) -> DataFrame | None:
+        """Net-effect change feed over a snapshot window: one row per key
+        whose TABLE STATE differs between ``since`` and ``until``, with
+        ``_change_type`` ∈ insert/update/delete and ``_commit_sid`` (the
+        snapshot that introduced the winning row) — the Iceberg/Delta
+        changelog-read surface, so a downstream mirror (the reference's
+        Pinecone sync, incremental_pinecone_updater.py) consumes commits
+        instead of rescanning the table.
+
+        Cost is O(window), never O(table): only the window's append
+        manifests (``added``) are scanned, the window is reduced to per-key
+        winners (one map-side-combined shuffle), and the pre-window
+        existence/ordering probe reads only the bloom-matched files of the
+        ``since`` snapshot via :func:`build_key_probe`. No-ops are
+        suppressed exactly: a window winner that loses LWW to the pre-state
+        (late replay), a duplicate delivery (order tie → pre-state wins),
+        and a delete of a key not live at ``since`` all vanish from the
+        feed, because applied-state ≡ fold(order) makes "no state change"
+        decidable from (pre winner, window winner) alone.
+
+        Windows stay consumable until vacuum reclaims them (compaction
+        inside the window is transparent — it changes no logical state;
+        construct the table with ``retention_snapshots=K`` to keep the last
+        K snapshots' files alive through compact+vacuum). Unservable
+        windows raise :class:`ChangeFeedUnavailableError`. A truncate
+        inside the window raises unless ``allow_truncate=True`` (the feed
+        then carries the surviving row changes; the mass deletion itself
+        lives in snapshot metadata, not in rows). Returns None for an
+        empty window. The window winners are persisted (two consumers:
+        the probe job and the returned plan); call ``.unpersist()`` on
+        ``df.sparkSession.catalog`` cache or let eviction handle it."""
+        assert self.mode == "row", "read_changes serves row-mode (LWW) tables"
+        since = int(since_snapshot_id)
+        cur = self.current_snapshot()
+        if cur is None:
+            return None
+        until = int(until_snapshot_id) if until_snapshot_id is not None else int(
+            cur["snapshot_id"]
+        )
+        if until < since:
+            raise ValueError(f"until ({until}) < since ({since})")
+        snap_until = cur if until == int(cur["snapshot_id"]) else self.snapshot(until)
+        if snap_until is None:
+            raise ChangeFeedUnavailableError(f"snapshot {until} is expired")
+        snap_since = None
+        if since > 0:
+            snap_since = self.snapshot(since)
+            if snap_since is None:
+                raise ChangeFeedUnavailableError(
+                    f"snapshot {since} is expired (vacuumed) — re-sync from read()"
+                )
+        h0 = (snap_since or {}).get("truncate")
+        h1 = snap_until.get("truncate")
+        if h1 != h0 and not allow_truncate:
+            raise ChangeFeedUnavailableError(
+                "a TRUNCATE lies inside the window; its mass deletion is "
+                "snapshot metadata, not rows — pass allow_truncate=True to "
+                "receive the surviving row changes and apply the horizon "
+                f"{h1} downstream"
+            )
+        win_files: list[str] = []
+        for sid in range(since + 1, until + 1):
+            s = snap_until if sid == until else self.snapshot(sid)
+            if s is None:
+                raise ChangeFeedUnavailableError(
+                    f"snapshot {sid} inside the window is expired (vacuumed) "
+                    "— re-sync from read()"
+                )
+            kind = s.get("kind")
+            if kind in ("compact", "meta"):
+                continue  # logical state unchanged — transparent to the feed
+            if kind != "append":
+                raise ChangeFeedUnavailableError(
+                    f"snapshot {sid} is a {kind or 'pre-change-feed'} commit "
+                    "— not representable as a row change feed"
+                )
+            ref = s.get("added")
+            if ref is None:
+                continue  # no-op epoch (empty append)
+            win_files += [self._abs(e["p"]) for e in self._load_manifest(ref)]
+        missing = [p for p in win_files if not os.path.exists(p)]
+        if missing:
+            raise ChangeFeedUnavailableError(
+                f"{len(missing)} window data files were vacuumed — raise "
+                "retention_snapshots or re-sync from read()"
+            )
+        if not win_files:
+            return None
+        schema = [tuple(c) for c in snap_until["schema"]]
+        df = self._read_files(spark, win_files, schema)
+        # commit id from the physical path — materialized BEFORE any
+        # exchange (input_file_name is undefined after a shuffle)
+        df = df.withColumn(
+            "_commit_sid",
+            F.regexp_extract(F.input_file_name(), "commit-([0-9]+)", 1).cast("bigint"),
+        )
+        # window winner per key: LWW order; the commit id breaks exact order
+        # ties (a cross-epoch duplicate redelivery outside the epoch log)
+        non_key = [c for c in df.columns if c != self.key]
+        order = F.struct(_order_key().alias("o"), F.col("_commit_sid").alias("c"))
+        win = (
+            df.groupBy(self.key)
+            .agg(F.max_by(F.struct(*non_key), order).alias("_w"))
+            .select(self.key, "_w.*")
+        )
+        wdel = (
+            F.coalesce(F.col("is_deleted"), F.lit(0))
+            if "is_deleted" in df.columns
+            else F.lit(0)
+        )
+        if snap_since is None:
+            # empty pre-state: every live winner is an insert; tombstone
+            # winners are deletes of never-live keys → no-ops
+            out = win.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+        else:
+            win = win.persist()
+            probe = build_key_probe(
+                spark,
+                win.select(self.key),
+                self.key,
+                [(self, list(range(self.n_buckets)))],
+                snapshots={self.path: snap_since},
+            )
+            pre = self._read_resolved(
+                spark,
+                snap_since,
+                self._entries(snap_since),
+                columns=["is_deleted"],
+                probe_keys=probe,
+            )
+            if pre is None:
+                pre2 = None
+            else:
+                pre2 = pre.select(
+                    F.col(self.key),
+                    _order_key().alias("_po"),
+                    F.coalesce(F.col("is_deleted"), F.lit(0)).alias("_pdel")
+                    if "is_deleted" in pre.columns
+                    else F.lit(0).alias("_pdel"),
+                )
+            w2 = win.withColumn("_wo", _order_key())
+            if pre2 is None:
+                out = w2.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+            else:
+                j = w2.join(pre2, self.key, "left")
+                pre_live = F.col("_po").isNotNull() & (F.col("_pdel") == 0)
+                effective = F.col("_po").isNull() | (F.col("_wo") > F.col("_po"))
+                ct = F.when(
+                    wdel == 1, F.when(pre_live, F.lit("delete"))
+                ).otherwise(
+                    F.when(pre_live, F.lit("update")).otherwise(F.lit("insert"))
+                )
+                out = (
+                    j.where(effective)
+                    .withColumn("_change_type", ct)
+                    .where(F.col("_change_type").isNotNull())
+                )
+            out = out.drop("_wo", "_po", "_pdel")
+        if h1 is not None:
+            # rows at-or-below the until-horizon are dead at `until` — a row
+            # both changed and truncated inside the window never reaches the
+            # feed (its deletion is carried by the horizon metadata)
+            out = out.where(_order_key() > _truncate_lit(h1))
+        return self._typed_view(out, snap_until)
+
     def read_bucket_winners(
         self,
         spark: SparkSession,
@@ -960,7 +1240,15 @@ class LakeTable:
         written file — the one per-epoch driver cost that grew with batch
         size (at 100× batches the driver never touches data bytes now)."""
         key, cap = self.key, self.bloom_max_keys
-        key_type = dict(self._current_write_schema).get(key, "string")
+        sch = dict(self._current_write_schema)
+        key_type = sch.get(key, "string")
+        # per-file min/max of the LWW order key (k0,k1,k2) — computed from
+        # the same expressions as operators.lww.order_key_cols so the triple
+        # is comparable with truncate horizons and read_since() probes. The
+        # lake's warc_ts is a Spark TIMESTAMP (an instant): unix_micros over
+        # it is session-TZ-independent, so bounds written by one session
+        # prune correctly in another (the NTZ hazard lives at ingest only).
+        has_order = {"op", "warc_ts", "pos"}.issubset(sch)
 
         def per_file_stats(batches):
             """SHUFFLE-FREE per-file aggregation: a scan partition holds
@@ -980,6 +1268,8 @@ class LakeTable:
             n = 0
             nk = 0
             pairs: list | None = []
+            omin = omax = None  # lexicographic (k0,k1,k2) bounds
+            onull = False  # any null order component → no bounds (conservative)
 
             def flush():
                 bloom = None
@@ -991,6 +1281,11 @@ class LakeTable:
                         "rows": [n],
                         "nkeys": [nk],
                         "bloom": [_json.dumps(bloom) if bloom is not None else None],
+                        "obounds": [
+                            None
+                            if onull or omin is None
+                            else _json.dumps([list(omin), list(omax)])
+                        ],
                     }
                 )
 
@@ -1000,6 +1295,8 @@ class LakeTable:
                         if cur is not None:
                             yield flush()
                         cur, n, nk, pairs = f, 0, 0, []
+                        omin = omax = None
+                        onull = False
                     n += len(grp)
                     keys = [k for k in grp["_k"].tolist() if k is not None]
                     nk += len(keys)
@@ -1008,15 +1305,42 @@ class LakeTable:
                             pairs = None  # over bloom cap: count only
                         else:
                             pairs.extend(_bloom_hashes(k) for k in keys)
+                    if "_k0" in grp.columns and not onull:
+                        for t in zip(
+                            grp["_k0"].tolist(),
+                            grp["_k1"].tolist(),
+                            grp["_k2"].tolist(),
+                        ):
+                            if any(v is None or v != v for v in t):  # None/NaN
+                                onull = True
+                                break
+                            t = (int(t[0]), int(t[1]), int(t[2]))
+                            if omin is None or t < omin:
+                                omin = t
+                            if omax is None or t > omax:
+                                omax = t
             if cur is not None:
                 yield flush()
 
-        src = spark.read.schema(f"`{key}` {key_type}").parquet(commit_dir).select(
+        read_schema = f"`{key}` {key_type}"
+        cols = [
             F.input_file_name().alias("_f"),
             F.col(key).cast("string").alias("_k"),
-        )
+        ]
+        if has_order:
+            read_schema += (
+                f", `op` {sch['op']}, `warc_ts` {sch['warc_ts']}, `pos` {sch['pos']}"
+            )
+            ok = _order_key()
+            cols += [
+                ok["k0"].cast("bigint").alias("_k0"),
+                ok["k1"].cast("bigint").alias("_k1"),
+                ok["k2"].cast("bigint").alias("_k2"),
+            ]
+        src = spark.read.schema(read_schema).parquet(commit_dir).select(*cols)
         collected = src.mapInPandas(
-            per_file_stats, "f string, rows bigint, nkeys bigint, bloom string"
+            per_file_stats,
+            "f string, rows bigint, nkeys bigint, bloom string, obounds string",
         ).collect()
         partials: dict[str, list] = {}
         for r in collected:
@@ -1036,7 +1360,18 @@ class LakeTable:
                 # files — rare (file > maxPartitionBytes), so the common
                 # path ships no per-key bytes at all
                 split_targets[p] = nkeys
-            out[p] = {"rows": rows, "bloom": bloom}
+            # order-key bounds merge trivially across split partials (min of
+            # mins / max of maxes) — any null partial poisons the file's
+            # bounds (conservative: the file is never order-pruned)
+            ob = None
+            if has_order and all(r["obounds"] for r in parts):
+                bs = [json.loads(r["obounds"]) for r in parts]
+                ob = [
+                    min(tuple(b[0]) for b in bs),
+                    max(tuple(b[1]) for b in bs),
+                ]
+                ob = [list(ob[0]), list(ob[1])]
+            out[p] = {"rows": rows, "bloom": bloom, "obounds": ob}
         if split_targets:
             for p, bloom in self._split_file_blooms(spark, split_targets).items():
                 out[p]["bloom"] = bloom
@@ -1137,7 +1472,10 @@ class LakeTable:
                     # scan never surfaced) → conservatively always read
                     out[b].append({"p": rel, "rows": None, "bloom": None})
                 else:
-                    out[b].append({"p": rel, "rows": st["rows"], "bloom": st["bloom"]})
+                    e = {"p": rel, "rows": st["rows"], "bloom": st["bloom"]}
+                    if st.get("obounds") is not None:
+                        e["o"] = st["obounds"]  # [[k0,k1,k2]min, [..]max]
+                    out[b].append(e)
         return out
 
     def _commit(
@@ -1154,10 +1492,16 @@ class LakeTable:
         keep_files: dict[str, list[dict]] | None = None,
         truncate: list | None = None,
         evolved_types: dict[str, str] | None = None,
+        kind: str = "append",
     ) -> dict:
         """Publish a snapshot. Manifest references of untouched buckets are
         carried over by name (no rewrite); only changed buckets get a new
         manifest — snapshot metadata cost is O(touched buckets) per commit.
+
+        ``kind`` ('append' | 'compact' | 'replace') is recorded in the
+        snapshot; append commits additionally record an ``added`` manifest
+        of exactly the file entries this commit introduced — the unit the
+        snapshot-window change feed (:meth:`read_changes`) consumes.
 
         ``keep_files``: for file-scoped rewrites (replace_keys) — the
         entries of the touched buckets that survive unchanged alongside the
@@ -1230,7 +1574,12 @@ class LakeTable:
             "epochs": epochs,
             "resolved": resolved,
             "meta": extra_meta or {},
+            "kind": kind,
         }
+        if kind == "append":
+            added = [dict(e, b=b) for b, es in written.items() for e in es]
+            if added:
+                new_snap["added"] = self._write_manifest(added)
         if epoch_floor >= 0:
             new_snap["epoch_floor"] = epoch_floor
         if horizon is not None:
@@ -1466,6 +1815,7 @@ class LakeTable:
             touched_buckets=touched,
             resolved=resolved,
             keep_files=keep,
+            kind="replace",
         )
 
     # -- maintenance ----------------------------------------------------------
@@ -1540,6 +1890,7 @@ class LakeTable:
                     if int(b) not in set(touched)
                 ),
                 extra_meta={"compaction": True, "partial": True},
+                kind="compact",
             )
             self.vacuum()
             return new_snap
@@ -1564,6 +1915,7 @@ class LakeTable:
             full_replace=True,
             resolved=True,
             extra_meta={"compaction": True},
+            kind="compact",
         )
         self.vacuum()
         return new_snap
@@ -1617,6 +1969,22 @@ class LakeTable:
         if snap:
             for es in self._entries(snap).values():
                 live.update(self._abs(e["p"]) for e in es)
+            if self.retention_snapshots > 0:
+                # retention window: the newest K non-expired historical
+                # snapshots stay readable (time travel + read_changes) —
+                # their files are live too. O(K) small JSON loads.
+                expired = self._expired_ids()
+                hist = [
+                    s
+                    for s in self.snapshot_ids()
+                    if s != snap["snapshot_id"] and s not in expired
+                ]
+                for sid in sorted(hist)[-self.retention_snapshots:]:
+                    old = self.snapshot(sid)
+                    if old is None:
+                        continue
+                    for es in self._entries(old).values():
+                        live.update(self._abs(e["p"]) for e in es)
         # pass 1: collect doomed files (no deletion yet)
         doomed: set[str] = set()
         empty_dirs: list[str] = []

@@ -63,12 +63,25 @@ class CdcPipeline:
         compact_min_files: int | None = None,
         expire_keep: int | None = None,
         ann_index=None,
+        retention_snapshots: int = 0,
     ):
+        # retention_snapshots: how many historical snapshots stay readable
+        # through compact()+vacuum — the pages table's change-feed /
+        # time-travel retention window (LakeTable.read_changes); size it to
+        # the slowest downstream consumer's lag in commits
         self.pages = LakeTable(
-            os.path.join(base_dir, "pages"), key="url", n_buckets=n_buckets, mode="row"
+            os.path.join(base_dir, "pages"),
+            key="url",
+            n_buckets=n_buckets,
+            mode="row",
+            retention_snapshots=retention_snapshots,
         )
         self.chunks = LakeTable(
-            os.path.join(base_dir, "chunks"), key="url", n_buckets=n_buckets, mode="set"
+            os.path.join(base_dir, "chunks"),
+            key="url",
+            n_buckets=n_buckets,
+            mode="set",
+            retention_snapshots=retention_snapshots,
         )
         self.lineage = LineageLog(os.path.join(base_dir, "lineage"))
         # corrupt-row dead-letter table (VERDICT r4 item 4) — populated only
