@@ -365,6 +365,52 @@ ORACLE_SQL: dict[str, str] = {
           'https://site-42.example.com/page/000042'
         )
     """,
+    # event-time tail: winners strictly above the pos=700 event's
+    # (warc_us, pos) — the engine answers via order-key-pruned read_since;
+    # k0 is constant (the envelope has no snapshot 'r' ops), so the SQL
+    # order reduces to (warc_us, pos)
+    "cdc_read_since": f"""
+        WITH w AS ({_WINNERS}),
+        h AS (SELECT warc_us AS h_us FROM ({_ENV}) WHERE pos = 700)
+        SELECT
+          url,
+          CASE WHEN op = 'd' THEN 'delete' ELSE 'upsert' END AS change_type,
+          op AS last_op, warc_us, pos, val_cents
+        FROM w, h
+        WHERE w.warc_us > h.h_us OR (w.warc_us = h.h_us AND w.pos > 700)
+    """,
+    # snapshot-window change feed: fold(even-pos half) is the base state,
+    # fold(odd-pos half) the window; classification + no-op suppression
+    # mirror LakeTable.read_changes exactly (late replays lose the
+    # effectiveness predicate; deletes of non-live keys vanish)
+    "cdc_changes_feed": f"""
+        WITH env AS ({_ENV}),
+        pre AS (
+          SELECT url, op, warc_us, pos FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+            FROM env WHERE pos % 4 IN (0, 2)
+          ) WHERE rn = 1
+        ),
+        win AS (
+          SELECT url, op, warc_us, pos, val_cents FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+            FROM env WHERE pos % 4 IN (1, 3)
+          ) WHERE rn = 1
+        )
+        SELECT
+          w.url,
+          CASE WHEN w.op = 'd' THEN 'delete'
+               WHEN p.op IS NOT NULL AND p.op <> 'd' THEN 'update'
+               ELSE 'insert' END AS change_type,
+          w.op AS last_op, w.warc_us, w.pos, w.val_cents
+        FROM win w LEFT JOIN pre p USING (url)
+        WHERE (p.warc_us IS NULL
+               OR w.warc_us > p.warc_us
+               OR (w.warc_us = p.warc_us AND w.pos > p.pos))
+          AND NOT (w.op = 'd' AND (p.op IS NULL OR p.op = 'd'))
+    """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
     # truncate-then-rebuild: the engine's snapshot horizon (op='t') must
     # equal the LWW fold over only the events strictly above the horizon

@@ -811,6 +811,81 @@ def cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lin.crossJoin(nq).crossJoin(nl)
 
 
+def _lake_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope shaped for LakeTable merges (shared by the lake gates)."""
+    return cdc_envelope(spark, sf_dir).select(
+        "url",
+        "op",
+        F.timestamp_micros(F.col("warc_us")).alias("warc_ts"),
+        "pos",
+        (F.col("op") == "d").cast("int").alias("is_deleted"),
+        "val_cents",
+    )
+
+
+def cdc_read_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tail read through the lake (round 5): four merge epochs
+    stack delta files, then ``read_since`` returns every current winner
+    whose LWW order key is above the pos=700 event's — scanning only files
+    whose recorded order-key max clears the probe (per-file (k0,k1,k2)
+    bounds from the commit stats job). Must equal the plain SQL fold
+    filtered to winners above the same (warc_us, pos) — proving the
+    order-pruned physical read loses nothing, deletes included (the
+    downstream-sync tail: upserts + deletes since a watermark)."""
+    import tempfile
+
+    from .sinks.lake import LakeTable
+
+    env0 = cdc_envelope(spark, sf_dir)
+    h = env0.where(F.col("pos") == 700).select("warc_us").first()
+    lo = [1, int(h["warc_us"]), 700]
+    env = _lake_env(spark, sf_dir)
+    table = LakeTable(tempfile.mkdtemp(prefix="cdc_since_"), key="url", n_buckets=8)
+    for e in range(4):
+        table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == e), epoch_id=e)
+    got = table.read_since(spark, lo, include_deletes=True)
+    return got.select(
+        "url",
+        F.col("_change_type").alias("change_type"),
+        F.col("op").alias("last_op"),
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "pos",
+        "val_cents",
+    )
+
+
+def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-window change feed through the lake (round 5): the log's
+    even-pos half is merged as the pre-window state, the odd-pos half as
+    the window, and ``read_changes`` emits the net insert/update/delete per
+    key — classified against a bloom-pruned probe of the base snapshot,
+    with no-ops (window winners that lose LWW to the pre-state; deletes of
+    keys not live at the base) suppressed exactly. The oracle recomputes
+    the same feed from two SQL folds + the identical classification rules —
+    the Iceberg/Delta changelog-read contract a downstream mirror (the
+    reference's Pinecone sync, incremental_pinecone_updater.py) applies."""
+    import tempfile
+
+    from .sinks.lake import LakeTable
+
+    env = _lake_env(spark, sf_dir)
+    table = LakeTable(tempfile.mkdtemp(prefix="cdc_feed_"), key="url", n_buckets=8)
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == 0), epoch_id=0)
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == 2), epoch_id=1)
+    base = table.current_snapshot()["snapshot_id"]
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == 1), epoch_id=2)
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == 3), epoch_id=3)
+    got = table.read_changes(spark, base)
+    return got.select(
+        "url",
+        F.col("_change_type").alias("change_type"),
+        F.col("op").alias("last_op"),
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "pos",
+        "val_cents",
+    )
+
+
 QUERIES = {
     "cdc_envelope": cdc_envelope,
     "cdc_lww_winners": cdc_lww_winners,
@@ -823,6 +898,8 @@ QUERIES = {
     "cdc_truncate_state": cdc_truncate_state,
     "cdc_evolved_state": cdc_evolved_state,
     "cdc_quarantine": cdc_quarantine,
+    "cdc_read_since": cdc_read_since,
+    "cdc_changes_feed": cdc_changes_feed,
     "cdc_range_slice": cdc_range_slice,
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,
