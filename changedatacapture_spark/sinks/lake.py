@@ -1949,6 +1949,10 @@ class LakeTable:
             for ref in snap["buckets"].values():
                 if isinstance(ref, str):
                     live_refs.add(ref)
+            # a surviving append snapshot's change-feed manifest stays too —
+            # read_changes windows inside keep_last must remain servable
+            if isinstance(snap.get("added"), str):
+                live_refs.add(snap["added"])
         for fn in list(os.listdir(self.manifest_dir)):
             if fn.endswith(".json") and fn not in live_refs:
                 os.remove(os.path.join(self.manifest_dir, fn))

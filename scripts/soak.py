@@ -102,7 +102,12 @@ def main():
             n_buckets=16,
             with_embeddings=True,
             compact_min_files=6,
-            expire_keep=4,
+            # expire_keep ≥ the feed window the phase-4 mirror consumes
+            # (phase 3 adds ~2-4 commits past the phase-2 base snapshot);
+            # retention_snapshots keeps those snapshots' FILES through the
+            # in-run compaction+vacuum so read_changes stays servable
+            expire_keep=6,
+            retention_snapshots=6,
         )
         for t in tables:
             m[t].ann_index = IncrementalVectorIndex(
@@ -137,6 +142,12 @@ def main():
                      max_files_per_trigger=2, timeout_sec=7200)
     phase2_sec = time.monotonic() - t0
     print(f"[soak] phase 2 (restart) done in {phase2_sec:.0f}s (budget {budget:.0f}s)", flush=True)
+
+    # change-feed base (round 5): everything phase 3 applies — including the
+    # adoption's meta snapshot — must flow through read_changes from here;
+    # the final assertions replay the feed onto this state and demand it
+    # equal the live table (the downstream-mirror contract at soak volume)
+    feed_base = {t: multi[t].pages.current_snapshot()["snapshot_id"] for t in tables}
 
     # ---- phase 3: checkpoint re-point + explicit adoption (VERDICT r4 #7).
     # A NEW feed (disjoint urls, later event times) with a WIPED checkpoint
@@ -258,6 +269,38 @@ def main():
                     failures.append(f"{t}: typed x_fetch_status values {tv}")
         elif [e for e in events if e["source"]["table"] == t and (e.get("after") or {}).get("extra")]:
             failures.append(f"{t}: evolution happened but no evolved_types recorded")
+
+        # phase-4 mirror: state(end of phase 2) + change feed == live state
+        from changedatacapture_spark.sinks.lake import ChangeFeedUnavailableError
+
+        feed = None
+        try:
+            feed = pipe.pages.read_changes(spark, feed_base[t], allow_truncate=True)
+        except ChangeFeedUnavailableError as e:
+            failures.append(f"{t}: feed window unservable: {e}")
+        base_read = pipe.pages.read(spark, snapshot_id=feed_base[t])
+        if base_read is None:
+            failures.append(f"{t}: base snapshot {feed_base[t]} unreadable")
+        else:
+            mirror = {
+                r["url"]: r["text"] for r in _rows(base_read.select("url", "text"))
+            }
+            for r in (
+                _rows(feed.select("url", "_change_type", "text"))
+                if feed is not None
+                else []
+            ):
+                if r["_change_type"] == "delete":
+                    mirror.pop(r["url"], None)
+                else:
+                    mirror[r["url"]] = r["text"]
+            if mirror != pages:
+                only_m = set(mirror) - set(pages)
+                only_l = set(pages) - set(mirror)
+                failures.append(
+                    f"{t}: feed mirror diverges (+{len(only_m)}/-{len(only_l)} keys, "
+                    f"e.g. {sorted(only_m | only_l)[:2]})"
+                )
 
         ch = pipe.chunks.read(spark)
         exp_ids = (

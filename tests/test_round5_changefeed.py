@@ -191,6 +191,24 @@ def test_read_since_matches_filtered_full_read_and_prunes_files(spark, tmp_path)
     assert t.read_since(spark, [0, -(2**62), 0]).count() == t.read(spark).count()
 
 
+def test_expire_snapshots_keeps_feed_manifests_in_window(spark, tmp_path):
+    """expire_snapshots prunes metadata of old snapshots — but the `added`
+    manifests of SURVIVING append snapshots must stay, or a change-feed
+    window inside keep_last dies with a raw FileNotFoundError instead of
+    serving (the bug this pins)."""
+    t, base, until = _feed_table(spark, tmp_path, retention_snapshots=8)
+    t.expire_snapshots(keep_last=8)  # every window snapshot survives
+    rows = t.read_changes(spark, base, until).collect()
+    assert {r["url"] for r in rows} == {"b", "c", "d"}
+    # expiring INTO the window turns the feed into the clean refusal
+    t.merge_lww(
+        spark, _mk(spark, [("z", "c", _ts(30), 30, 0, 1)]), epoch_id=3
+    )
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ChangeFeedUnavailableError):
+        t.read_changes(spark, base, until)
+
+
 def test_order_bounds_recorded_and_conservative(spark, tmp_path):
     t = LakeTable(str(tmp_path / "b"), key="url", n_buckets=2)
     t.merge_lww(
