@@ -245,53 +245,58 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
             if live:
                 extras[f"{prefix}bytes_written_mb"] = round(written / 1e6, 1)
                 extras[f"{prefix}write_amplification"] = round(written / live, 3)
-            if tag == "full":
-                # -- incremental-consumer reads over the multi-epoch lake ----
-                # (round 5): the event-time tail (read_since, order-pruned)
-                # and the snapshot-window change feed (read_changes) are the
-                # downstream-sync surface — measure them on the lake the
-                # stream just built, while its delta commits still stack.
-                from pyspark.sql import functions as F
+            return spipe, stream_lake
 
-                pages = spipe.pages
-                mn, mx = (
-                    pages.read(spark)
-                    .agg(
-                        F.unix_micros(F.min("warc_ts")), F.unix_micros(F.max("warc_ts"))
-                    )
-                    .first()
-                )
-                lo = [1, int(mx - 0.05 * (mx - mn)), 0]  # last ~5% of event time
-                extras["tail_probe_files"] = len(pages.files_for_since(lo))
-                extras["tail_total_files"] = sum(
-                    len(v) for v in pages.bucket_files().values()
-                )
+        full_state: dict = {}
+        timed(
+            "cdc_stream",
+            lambda: full_state.update(
+                zip(("spipe", "lake"), stream_replay("full", log_dir, "steady_"))
+            ),
+        )
+        if full_state:
+            # -- incremental-consumer reads over the multi-epoch lake --------
+            # (round 5): the event-time tail (read_since, order-pruned) and
+            # the snapshot-window change feed (read_changes) are the
+            # downstream-sync surface — measured on the lake the stream just
+            # built, while its delta commits still stack. Deliberately
+            # OUTSIDE the cdc_stream wall so that line stays comparable
+            # across rounds.
+            from pyspark.sql import functions as F
 
-                def tail_read():
-                    df = pages.read_since(spark, lo, include_deletes=True)
-                    extras["tail_rows"] = df.count() if df is not None else 0
+            pages = full_state["spipe"].pages
+            mn, mx = (
+                pages.read(spark)
+                .agg(F.unix_micros(F.min("warc_ts")), F.unix_micros(F.max("warc_ts")))
+                .first()
+            )
+            lo = [1, int(mx - 0.05 * (mx - mn)), 0]  # last ~5% of event time
+            extras["tail_probe_files"] = len(pages.files_for_since(lo))
+            extras["tail_total_files"] = sum(
+                len(v) for v in pages.bucket_files().values()
+            )
 
-                if not only or "lake_tail_read" in only:
-                    tail_read()  # untimed warmup (codegen)
-                timed("lake_tail_read", tail_read)
+            def tail_read():
+                df = pages.read_since(spark, lo, include_deletes=True)
+                extras["tail_rows"] = df.count() if df is not None else 0
 
-                sids = sorted(pages.committed_epochs().values())
-                base_sid = sids[len(sids) // 2] if sids else 0
+            if not only or "lake_tail_read" in only:
+                tail_read()  # untimed warmup (codegen)
+            timed("lake_tail_read", tail_read)
 
-                def changes_feed():
-                    df = pages.read_changes(spark, base_sid)
-                    extras["changes_feed_rows"] = df.count() if df is not None else 0
+            sids = sorted(pages.committed_epochs().values())
+            base_sid = sids[len(sids) // 2] if sids else 0
 
-                if not only or "lake_changes_feed" in only:
-                    changes_feed()  # untimed warmup
-                timed("lake_changes_feed", changes_feed)
-                extras["changes_window_commits"] = len(
-                    [s for s in sids if s > base_sid]
-                )
-                spark.catalog.clearCache()  # read_changes persists its winners
-            shutil.rmtree(stream_lake, ignore_errors=True)
+            def changes_feed():
+                df = pages.read_changes(spark, base_sid)
+                extras["changes_feed_rows"] = df.count() if df is not None else 0
 
-        timed("cdc_stream", lambda: stream_replay("full", log_dir, "steady_"))
+            if not only or "lake_changes_feed" in only:
+                changes_feed()  # untimed warmup
+            timed("lake_changes_feed", changes_feed)
+            extras["changes_window_commits"] = len([s for s in sids if s > base_sid])
+            spark.catalog.clearCache()  # read_changes persists its winners
+            shutil.rmtree(full_state["lake"], ignore_errors=True)
 
         # -- update-heavy feed: 80% of urls carry content-no-op updates -------
         # (metadata-only row updates — the common CDC case). The content-hash
@@ -303,7 +308,15 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
             # otherwise charge dataset generation to the first run only,
             # corrupting the interleaved best-of-K protocol
             noop_log = ensure_bench_log(spark, sf_dir, n_events, n_urls, noop_frac=0.8)
-            timed("cdc_stream_noop", lambda: stream_replay("noop", noop_log, "noop_"))
+            noop_state: dict = {}
+            timed(
+                "cdc_stream_noop",
+                lambda: noop_state.update(
+                    zip(("spipe", "lake"), stream_replay("noop", noop_log, "noop_"))
+                ),
+            )
+            if noop_state:
+                shutil.rmtree(noop_state["lake"], ignore_errors=True)
 
         # -- derived chunks over the final pages ----------------------------
         def chunks():
