@@ -930,7 +930,18 @@ class LakeTable:
         ``_change_type`` column ('delete'/'upsert') — the downstream-sync
         feed shape (the reference's Pinecone updater consumes exactly
         upserts + deletes, incremental_pinecone_updater.py). Default mirrors
-        ``read()`` (live rows only). Returns None for an empty table."""
+        ``read()`` (live rows only). Returns None for an empty table.
+
+        Null-order semantics (pinned, ADVICE r5 low): a row with a null
+        order component (e.g. a null ``warc_ts``) is excluded EXACTLY when
+        its order relative to ``lo`` is undecidable — the field-by-field
+        struct comparison reaches the null before resolving (a same-class
+        probe). When an earlier field already decides (e.g. a stream-class
+        row against a snapshot-class ``lo``), the row is orderable enough
+        and returned. ``read()`` always returns such rows, and the stats
+        job conservatively never order-prunes a file containing one —
+        exclusion happens only at the final order filter, never by losing
+        the file (tests/test_round6.py pins all three halves)."""
         snap = (
             self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         )
@@ -967,14 +978,29 @@ class LakeTable:
         until_snapshot_id: int | None = None,
         *,
         allow_truncate: bool = False,
+        member_key: str | None = None,
     ) -> DataFrame | None:
-        """Net-effect change feed over a snapshot window: one row per key
-        whose TABLE STATE differs between ``since`` and ``until``, with
-        ``_change_type`` ∈ insert/update/delete and ``_commit_sid`` (the
-        snapshot that introduced the winning row) — the Iceberg/Delta
+        """Net-effect change feed over a snapshot window — the Iceberg/Delta
         changelog-read surface, so a downstream mirror (the reference's
-        Pinecone sync, incremental_pinecone_updater.py) consumes commits
-        instead of rescanning the table.
+        Pinecone sync, incremental_pinecone_updater.py:97-202) consumes
+        commits instead of rescanning the table.
+
+        - **row mode** (the pages table): one row per key whose TABLE STATE
+          differs between ``since`` and ``until``, with ``_change_type`` ∈
+          insert/update/delete and ``_commit_sid`` (the snapshot that
+          introduced the winning row).
+        - **set mode** (the chunks/vectors table; pass ``member_key``, e.g.
+          ``"chunk_index"``): one row per (key, member) whose state differs —
+          members of the new winning set that are new or changed emit
+          insert/update rows (payload = the new member), members of the
+          ``since`` set absent from the new one emit delete rows (payload =
+          the OLD member, so a mirror can delete by any stored id, e.g.
+          ``chunk_id`` — exactly what the reference's vector-store sync
+          deletes by, incremental_pinecone_updater.py:263-277). A member
+          whose payload is unchanged between the two sets (e.g. a reused
+          embedding of an unedited section) is suppressed — the mirror
+          never re-upserts an identical vector. Every emitted row carries
+          the window-winning event's (op, warc_ts, pos) and ``_commit_sid``.
 
         Cost is O(window), never O(table): only the window's append
         manifests (``added``) are scanned, the window is reduced to per-key
@@ -991,14 +1017,30 @@ class LakeTable:
         inside the window is transparent — it changes no logical state;
         construct the table with ``retention_snapshots=K`` to keep the last
         K snapshots' files alive through compact+vacuum). Unservable
-        windows raise :class:`ChangeFeedUnavailableError`. A truncate
-        inside the window raises unless ``allow_truncate=True`` (the feed
-        then carries the surviving row changes; the mass deletion itself
-        lives in snapshot metadata, not in rows). Returns None for an
-        empty window. The window winners are persisted (two consumers:
-        the probe job and the returned plan); call ``.unpersist()`` on
-        ``df.sparkSession.catalog`` cache or let eviction handle it."""
-        assert self.mode == "row", "read_changes serves row-mode (LWW) tables"
+        windows raise :class:`ChangeFeedUnavailableError` — including a
+        window whose ``since`` snapshot was bucketed with a DIFFERENT
+        ``n_buckets`` than the live table (a rebucketing
+        ``compact(n_buckets=...)`` after ``since``): the pre-state probe
+        buckets keys with the live count, so probing the old layout could
+        prove files key-free that are not and silently misclassify
+        (ADVICE r5 high) — refused instead. A truncate inside the window
+        raises unless ``allow_truncate=True`` (the feed then carries the
+        surviving row changes; the mass deletion itself lives in snapshot
+        metadata, not in rows). Returns None for an empty window.
+
+        Nothing is persisted: the window scan (O(window files)) executes
+        once for the eager pre-state probe and again when the returned plan
+        is consumed — a deliberate trade so a polling consumer never
+        accumulates driver-owned cache entries it cannot release
+        (ADVICE r5 low)."""
+        if self.mode == "set":
+            assert member_key is not None, (
+                "set-mode read_changes needs member_key= (the within-set "
+                "member identity column, e.g. 'chunk_index')"
+            )
+        else:
+            assert self.mode == "row", "read_changes serves row/set-mode tables"
+            assert member_key is None, "member_key applies to set-mode tables only"
         since = int(since_snapshot_id)
         cur = self.current_snapshot()
         if cur is None:
@@ -1017,6 +1059,20 @@ class LakeTable:
             if snap_since is None:
                 raise ChangeFeedUnavailableError(
                     f"snapshot {since} is expired (vacuumed) — re-sync from read()"
+                )
+            since_nb = int(snap_since.get("n_buckets", self.n_buckets))
+            if since_nb != self.n_buckets:
+                # the pre-state probe buckets the window keys with the LIVE
+                # n_buckets, but snapshot `since`'s manifests are grouped by
+                # its own persisted count — probing across a rebucketing
+                # compact would prove files key-free that do hold probed
+                # keys and silently misclassify (update→insert, dropped
+                # deletes). Refuse-rather-than-desync (ADVICE r5 high).
+                raise ChangeFeedUnavailableError(
+                    f"snapshot {since} was bucketed with n_buckets="
+                    f"{since_nb} but the table now uses {self.n_buckets} "
+                    "(a rebucketing compact lies after it) — re-sync from "
+                    "read()"
                 )
         h0 = (snap_since or {}).get("truncate")
         h1 = snap_until.get("truncate")
@@ -1063,6 +1119,41 @@ class LakeTable:
             "_commit_sid",
             F.regexp_extract(F.input_file_name(), "commit-([0-9]+)", 1).cast("bigint"),
         )
+        if self.mode == "set":
+            out = self._changes_set(spark, df, snap_since, member_key)
+        else:
+            out = self._changes_row(spark, df, snap_since)
+        if h1 is not None:
+            # rows at-or-below the until-horizon are dead at `until` — a row
+            # both changed and truncated inside the window never reaches the
+            # feed (its deletion is carried by the horizon metadata)
+            out = out.where(_order_key() > _truncate_lit(h1))
+        return self._typed_view(out, snap_until)
+
+    def _pre_state_probe(
+        self, spark: SparkSession, keys_df: DataFrame, snap_since: dict
+    ) -> KeyProbe:
+        """The change feed's pre-window existence probe: bloom-prune snapshot
+        ``since``'s files down to those that can hold the window's keys.
+        ``row_filter=False`` — both feed branches join the pre-state onto
+        the window keys themselves, so the probe's post-resolution semi join
+        would be redundant work AND it lets the probe's keys frame stay
+        unpersisted (nothing else consumes it; ADVICE r5 low — the round-5
+        ``win.persist()`` here was never released)."""
+        probe = build_key_probe(
+            spark,
+            keys_df,
+            self.key,
+            [(self, list(range(self.n_buckets)))],
+            snapshots={self.path: snap_since},
+        )
+        probe.row_filter = False
+        return probe
+
+    def _changes_row(
+        self, spark: SparkSession, df: DataFrame, snap_since: dict | None
+    ) -> DataFrame:
+        """Row-mode feed classification (see :meth:`read_changes`)."""
         # window winner per key: LWW order; the commit id breaks exact order
         # ties (a cross-epoch duplicate redelivery outside the epoch log)
         non_key = [c for c in df.columns if c != self.key]
@@ -1080,57 +1171,184 @@ class LakeTable:
         if snap_since is None:
             # empty pre-state: every live winner is an insert; tombstone
             # winners are deletes of never-live keys → no-ops
-            out = win.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+            return win.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+        probe = self._pre_state_probe(spark, win.select(self.key), snap_since)
+        pre = self._read_resolved(
+            spark,
+            snap_since,
+            self._entries(snap_since),
+            columns=["is_deleted"],
+            probe_keys=probe,
+        )
+        if pre is None:
+            pre2 = None
         else:
-            win = win.persist()
-            probe = build_key_probe(
-                spark,
-                win.select(self.key),
-                self.key,
-                [(self, list(range(self.n_buckets)))],
-                snapshots={self.path: snap_since},
+            pre2 = pre.select(
+                F.col(self.key),
+                _order_key().alias("_po"),
+                F.coalesce(F.col("is_deleted"), F.lit(0)).alias("_pdel")
+                if "is_deleted" in pre.columns
+                else F.lit(0).alias("_pdel"),
+            )
+        w2 = win.withColumn("_wo", _order_key())
+        if pre2 is None:
+            out = w2.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+        else:
+            j = w2.join(pre2, self.key, "left")
+            pre_live = F.col("_po").isNotNull() & (F.col("_pdel") == 0)
+            effective = F.col("_po").isNull() | (F.col("_wo") > F.col("_po"))
+            ct = F.when(
+                wdel == 1, F.when(pre_live, F.lit("delete"))
+            ).otherwise(
+                F.when(pre_live, F.lit("update")).otherwise(F.lit("insert"))
+            )
+            out = (
+                j.where(effective)
+                .withColumn("_change_type", ct)
+                .where(F.col("_change_type").isNotNull())
+            )
+        return out.drop("_wo", "_po", "_pdel")
+
+    def _changes_set(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        snap_since: dict | None,
+        member_key: str,
+    ) -> DataFrame:
+        """Set-mode feed classification at MEMBER granularity (see
+        :meth:`read_changes`): the window reduces to each key's winning SET
+        (max (order, commit) group — one shuffle by key); effective keys
+        (pre-state absent or strictly out-ranked) diff their new member set
+        against the ``since`` set with one full-outer join on
+        (key, member); unchanged members are suppressed by null-safe
+        payload equality. The per-key window event columns (op, warc_ts,
+        pos, _commit_sid) ride every emitted row — delete rows carry the
+        OLD member's payload under the NEW event's order, so a mirror can
+        both delete by stored id and order the change correctly."""
+        from pyspark.sql.window import Window
+
+        mk = member_key
+        assert mk in df.columns, f"member_key {mk!r} is not a table column"
+        meta_cols = (self.key, mk, "op", "warc_ts", "pos", "is_deleted", "_commit_sid")
+        pcols = [c for c in df.columns if c not in meta_cols]
+        wdel = F.coalesce(F.col("is_deleted"), F.lit(0))
+
+        # winning set per key: all rows matching the key's max (order,
+        # commit) — members share one order key per set by the merge_sets
+        # write contract; the commit id breaks cross-epoch redelivery ties
+        # so exactly ONE commit's copy of the set survives
+        okey = F.struct(_order_key().alias("o"), F.col("_commit_sid").alias("c"))
+        w = Window.partitionBy(self.key)
+        win = (
+            df.withColumn("_wk", okey)
+            .withColumn("_mx", F.max("_wk").over(w))
+            .where(F.col("_wk") == F.col("_mx"))
+            .drop("_mx")
+        )
+        # per-key window event metadata (one row per key — every row of the
+        # winning set carries identical values, so max is exact)
+        meta_w = (
+            win.groupBy(self.key)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_wk").alias("k"),
+                        F.col("op").alias("op"),
+                        F.col("warc_ts").alias("warc_ts"),
+                        F.col("pos").alias("pos"),
+                        wdel.alias("_wdel"),
+                        F.col("_commit_sid").alias("_commit_sid"),
+                    )
+                ).alias("m")
+            )
+            .select(self.key, "m.*")
+        )
+        if snap_since is None:
+            eff = meta_w.drop("k")
+            om = None
+        else:
+            probe = self._pre_state_probe(
+                spark, meta_w.select(self.key), snap_since
             )
             pre = self._read_resolved(
                 spark,
                 snap_since,
                 self._entries(snap_since),
-                columns=["is_deleted"],
+                columns=[mk] + pcols + ["is_deleted"],
                 probe_keys=probe,
             )
             if pre is None:
-                pre2 = None
+                eff = meta_w.drop("k")
+                om = None
             else:
-                pre2 = pre.select(
-                    F.col(self.key),
-                    _order_key().alias("_po"),
-                    F.coalesce(F.col("is_deleted"), F.lit(0)).alias("_pdel")
+                pdel = (
+                    F.coalesce(F.col("is_deleted"), F.lit(0))
                     if "is_deleted" in pre.columns
-                    else F.lit(0).alias("_pdel"),
+                    else F.lit(0)
                 )
-            w2 = win.withColumn("_wo", _order_key())
-            if pre2 is None:
-                out = w2.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
-            else:
-                j = w2.join(pre2, self.key, "left")
-                pre_live = F.col("_po").isNotNull() & (F.col("_pdel") == 0)
-                effective = F.col("_po").isNull() | (F.col("_wo") > F.col("_po"))
-                ct = F.when(
-                    wdel == 1, F.when(pre_live, F.lit("delete"))
-                ).otherwise(
-                    F.when(pre_live, F.lit("update")).otherwise(F.lit("insert"))
+                pre_meta = pre.groupBy(self.key).agg(
+                    F.max(_order_key()).alias("_po")
                 )
-                out = (
-                    j.where(effective)
-                    .withColumn("_change_type", ct)
-                    .where(F.col("_change_type").isNotNull())
+                # effective keys: pre-state absent or strictly out-ranked;
+                # an exact order tie is a redelivered set → pre wins → no-op
+                eff = (
+                    meta_w.join(pre_meta, self.key, "left")
+                    .where(F.col("_po").isNull() | (F.col("k.o") > F.col("_po")))
+                    .drop("k", "_po")
                 )
-            out = out.drop("_wo", "_po", "_pdel")
-        if h1 is not None:
-            # rows at-or-below the until-horizon are dead at `until` — a row
-            # both changed and truncated inside the window never reaches the
-            # feed (its deletion is carried by the horizon metadata)
-            out = out.where(_order_key() > _truncate_lit(h1))
-        return self._typed_view(out, snap_until)
+                om = (
+                    pre.where(pdel == 0)
+                    .select(
+                        self.key,
+                        F.col(mk).alias(mk),
+                        *[F.col(c).alias(f"_o_{c}") for c in pcols],
+                        F.lit(1).alias("_has_o"),
+                    )
+                    .join(eff.select(self.key), self.key, "left_semi")
+                )
+        # new members: the winning sets' live rows, restricted to effective
+        # keys (a tombstone winner contributes no member rows — its deletes
+        # come from the old side of the outer join)
+        nm = (
+            win.where(wdel == 0)
+            .select(self.key, mk, *pcols, F.lit(1).alias("_has_n"))
+            .join(eff.select(self.key), self.key, "left_semi")
+        )
+        if om is None:
+            ptypes = {f.name: f.dataType for f in df.schema.fields}
+            fo = nm.withColumn("_has_o", F.lit(None).cast("int"))
+            for c in pcols:
+                fo = fo.withColumn(f"_o_{c}", F.lit(None).cast(ptypes[c]))
+        else:
+            fo = nm.join(om, [self.key, mk], "full_outer")
+        same = F.struct(*[F.col(c) for c in pcols]).eqNullSafe(
+            F.struct(*[F.col(f"_o_{c}").alias(c) for c in pcols])
+        )
+        ct = (
+            F.when(F.col("_has_n").isNull(), F.lit("delete"))
+            .when(F.col("_has_o").isNull(), F.lit("insert"))
+            .when(~same, F.lit("update"))
+        )
+        changed = fo.withColumn("_change_type", ct).where(ct.isNotNull())
+        # delete rows carry the OLD member's payload (mirror deletes by its
+        # stored id); insert/update carry the new member's
+        proj = [
+            F.col(self.key),
+            F.col(mk),
+            *[
+                F.when(
+                    F.col("_change_type") == "delete", F.col(f"_o_{c}")
+                ).otherwise(F.col(c)).alias(c)
+                for c in pcols
+            ],
+            F.col("_change_type"),
+        ]
+        return changed.select(*proj).join(
+            eff.select(self.key, "op", "warc_ts", "pos", "_commit_sid"),
+            self.key,
+            "inner",
+        )
 
     def read_bucket_winners(
         self,
