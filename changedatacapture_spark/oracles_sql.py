@@ -411,6 +411,77 @@ ORACLE_SQL: dict[str, str] = {
                OR (w.warc_us = p.warc_us AND w.pos > p.pos))
           AND NOT (w.op = 'd' AND (p.op IS NULL OR p.op = 'd'))
     """,
+    # round 6: member-granular SET-mode change feed — base = fold of the
+    # pos%4∈{0,1} half, window = fold of the {2,3} half; each non-delete
+    # winner expands to abs(val_cents)%3+1 members whose content encodes
+    # the value; the member diff (insert/update/delete, unchanged
+    # suppressed) mirrors LakeTable._changes_set exactly, with delete rows
+    # carrying the OLD member's content under the window event's order.
+    # commit_off = which window commit won (pos%4==2 → epoch 2 → 1; ==3 → 2)
+    "cdc_chunk_changes": f"""
+        WITH env AS ({_ENV}),
+        pre AS (
+          SELECT url, op, warc_us, pos, val_cents FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+            FROM env WHERE pos % 4 IN (0, 1)
+          ) WHERE rn = 1
+        ),
+        win AS (
+          SELECT url, op, warc_us, pos, val_cents FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+            FROM env WHERE pos % 4 IN (2, 3)
+          ) WHERE rn = 1
+        ),
+        eff AS (
+          SELECT w.url, w.op, w.warc_us, w.pos, w.val_cents,
+                 p.op AS p_op, p.val_cents AS p_val
+          FROM win w LEFT JOIN pre p USING (url)
+          WHERE p.warc_us IS NULL
+             OR w.warc_us > p.warc_us
+             OR (w.warc_us = p.warc_us AND w.pos > p.pos)
+        ),
+        nm0 AS (
+          SELECT url, unnest(range(abs(val_cents) % 3 + 1)) AS ci, val_cents
+          FROM eff WHERE op <> 'd'
+        ),
+        nm AS (
+          SELECT url, CAST(ci AS INT) AS chunk_index,
+                 url || ':' || CAST(val_cents AS VARCHAR) || ':'
+                     || CAST(ci AS VARCHAR) AS content
+          FROM nm0
+        ),
+        om0 AS (
+          SELECT url, unnest(range(abs(p_val) % 3 + 1)) AS ci, p_val
+          FROM eff WHERE p_op IS NOT NULL AND p_op <> 'd'
+        ),
+        om AS (
+          SELECT url, CAST(ci AS INT) AS chunk_index,
+                 url || ':' || CAST(p_val AS VARCHAR) || ':'
+                     || CAST(ci AS VARCHAR) AS content
+          FROM om0
+        ),
+        fo AS (
+          SELECT COALESCE(n.url, o.url) AS url,
+                 COALESCE(n.chunk_index, o.chunk_index) AS chunk_index,
+                 n.content AS n_content, o.content AS o_content
+          FROM nm n FULL OUTER JOIN om o
+            ON n.url = o.url AND n.chunk_index = o.chunk_index
+        )
+        SELECT f.url, f.chunk_index,
+               CASE WHEN f.n_content IS NULL THEN 'delete'
+                    WHEN f.o_content IS NULL THEN 'insert'
+                    ELSE 'update' END AS change_type,
+               CASE WHEN f.n_content IS NULL THEN f.o_content
+                    ELSE f.n_content END AS content,
+               e.op AS last_op, e.warc_us, e.pos,
+               CAST(CASE WHEN e.pos % 4 = 2 THEN 1 ELSE 2 END AS BIGINT)
+                 AS commit_off
+        FROM fo f JOIN eff e USING (url)
+        WHERE f.n_content IS NULL OR f.o_content IS NULL
+           OR f.n_content <> f.o_content
+    """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
     # truncate-then-rebuild: the engine's snapshot horizon (op='t') must
     # equal the LWW fold over only the events strictly above the horizon
