@@ -1857,6 +1857,7 @@ class LakeTable:
         pre_reduced: bool,
         truncate: list | None = None,
         evolved_types: dict[str, str] | None = None,
+        extra_meta: dict | None = None,
     ) -> dict | None:
         if epoch_id is not None and self._check_epoch(epoch_id):
             return None  # exactly-once: this micro-batch already applied
@@ -1887,6 +1888,7 @@ class LakeTable:
             resolved=not had_files,
             truncate=truncate,
             evolved_types=evolved_types,
+            extra_meta=extra_meta,
         )
 
     def merge_lww(
@@ -1898,8 +1900,12 @@ class LakeTable:
         pre_reduced: bool = False,
         truncate: list | None = None,
         evolved_types: dict[str, str] | None = None,
+        extra_meta: dict | None = None,
     ) -> dict | None:
         """MERGE the batch's rows into the table under LWW.
+
+        ``extra_meta``: caller metadata recorded in the snapshot's ``meta``
+        map (e.g. a feed consumer's durable cursor — streaming.mirror).
 
         ``evolved_types``: per-batch logical-type votes for evolved columns
         (operators.evolution.infer_extra_types) — folded widen-only into
@@ -1935,6 +1941,7 @@ class LakeTable:
             pre_reduced=pre_reduced,
             truncate=truncate,
             evolved_types=evolved_types,
+            extra_meta=extra_meta,
         )
 
     def merge_sets(

@@ -1,0 +1,233 @@
+"""Feed-driven downstream mirror — the engine's own stand-in for the
+reference's vector-store sync loop (incremental_pinecone_updater.py:97-202:
+tail the change log, upsert changed vectors, delete stale ids, full re-sync
+when the incremental path cannot be trusted).
+
+A :class:`FeedMirror` tails a source :class:`~..sinks.lake.LakeTable`'s
+snapshot-window change feed (``read_changes``) into a SEPARATE row-mode
+LakeTable and is provably equal to the source's live set after every sync
+(``diff_vs_source`` — two distributed ``exceptAll`` counts, no driver-side
+state). It exists to close the loop on the feed surface (VERDICT r5 item 2):
+if a mirror maintained ONLY from the feed equals the source across epochs,
+compaction, vacuum-with-retention, truncate, and an unavailability re-sync,
+the feed is complete and exactly classified.
+
+Apply semantics:
+
+- **row-mode source** (pages): feed rows are already ≤1 per key; they merge
+  into the mirror under the same LWW order they carry. Deletes arrive as
+  ``is_deleted=1`` rows — tombstones in the mirror, exactly like the source.
+- **set-mode source** (chunks; pass ``member_key``): feed rows are ≤1 per
+  (key, member); the mirror keys them by a synthesized ``_member_id``
+  (``key\\x00member``) — one mirror row per set member, the vector-store
+  model (one vector per chunk_id). Member deletes carry the window event's
+  order, which strictly out-ranks the member's last upsert, so LWW applies
+  them cleanly.
+- a TRUNCATE inside the window is consumed with ``allow_truncate=True`` and
+  its horizon is re-applied to the mirror as snapshot metadata — the mirror
+  kills the same rows the source did, without ever seeing them as feed rows.
+- :class:`~..sinks.lake.ChangeFeedUnavailableError` (window vacuumed,
+  replace_keys/rebucket inside it, retention exceeded) triggers
+  :meth:`resync`: wipe the mirror and rebuild from a pinned-snapshot
+  ``read()`` — the reference's "full re-sync" escape hatch.
+
+Idempotent + restartable: every apply records the consumed source snapshot id
+in the mirror snapshot's ``meta`` (``feed_cursor``), so a restarted consumer
+resumes from its durable cursor; re-applying an already-applied window is
+harmless by construction (same rows at the same LWW orders fold to the same
+state). Each sync is one commit — the mirror's own epoch log dedups crashes
+mid-apply.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.lake import ChangeFeedUnavailableError, LakeTable
+
+_MEMBER_SEP = "\x00"
+
+
+class FeedMirror:
+    def __init__(
+        self,
+        source: LakeTable,
+        path: str,
+        *,
+        member_key: str | None = None,
+        n_buckets: int | None = None,
+    ):
+        if source.mode == "set":
+            assert member_key is not None, "set-mode sources need member_key="
+        else:
+            assert source.mode == "row" and member_key is None
+        self.source = source
+        self.member_key = member_key
+        self.path = os.path.abspath(path)
+        self.n_buckets = n_buckets or source.n_buckets
+        self._open_table()
+
+    def _open_table(self) -> None:
+        key = self.source.key if self.member_key is None else "_member_id"
+        self.table = LakeTable(
+            self.path, key=key, n_buckets=self.n_buckets, mode="row"
+        )
+
+    # -- cursor ----------------------------------------------------------------
+
+    @property
+    def cursor(self) -> int:
+        """Last consumed source snapshot id (durable: recorded in the mirror
+        snapshot's meta by every apply; 0 = never synced)."""
+        snap = self.table.current_snapshot()
+        return int((snap or {}).get("meta", {}).get("feed_cursor", 0))
+
+    def _next_epoch(self) -> int:
+        snap = self.table.current_snapshot()
+        if snap is None:
+            return 0
+        eps = [int(e) for e in snap.get("epochs", {})]
+        floor = int(snap.get("epoch_floor", -1))
+        return max(eps + [floor]) + 1
+
+    # -- sync ------------------------------------------------------------------
+
+    def sync(self, spark: SparkSession) -> str:
+        """One consumer poll: apply the feed window (cursor, current] to the
+        mirror. Returns 'noop' | 'applied' | 'resync'."""
+        cur = self.source.current_snapshot()
+        if cur is None:
+            return "noop"
+        until = int(cur["snapshot_id"])
+        since = self.cursor
+        if until <= since:
+            return "noop"
+        try:
+            feed = self.source.read_changes(
+                spark,
+                since,
+                until,
+                allow_truncate=True,
+                member_key=self.member_key,
+            )
+        except ChangeFeedUnavailableError:
+            self.resync(spark)
+            return "resync"
+        snap_until = cur if until == int(cur["snapshot_id"]) else None
+        horizon = (snap_until or self.source.snapshot(until) or {}).get("truncate")
+        self._apply(spark, feed, until, horizon)
+        return "applied"
+
+    def _feed_rows(self, feed: DataFrame) -> DataFrame:
+        rows = feed.withColumn(
+            "is_deleted", (F.col("_change_type") == "delete").cast("int")
+        ).drop("_change_type", "_commit_sid")
+        if self.member_key is not None:
+            rows = rows.withColumn(
+                "_member_id",
+                F.concat_ws(
+                    _MEMBER_SEP,
+                    F.col(self.source.key),
+                    F.col(self.member_key).cast("string"),
+                ),
+            )
+        return rows
+
+    def _apply(
+        self,
+        spark: SparkSession,
+        feed: DataFrame | None,
+        until: int,
+        horizon: list | None,
+    ) -> None:
+        meta = {"feed_cursor": until}
+        if feed is None:
+            # commits in the window but zero net changes (or pure metadata)
+            # — advance the durable cursor with an empty append
+            empty = spark.createDataFrame(
+                [], "op string, warc_ts timestamp, pos long"
+            ).withColumn(self.table.key, F.lit(None).cast("string"))
+            self.table.merge_lww(
+                spark,
+                empty,
+                epoch_id=self._next_epoch(),
+                pre_reduced=True,
+                truncate=horizon,
+                extra_meta=meta,
+            )
+            return
+        self.table.merge_lww(
+            spark,
+            self._feed_rows(feed),
+            epoch_id=self._next_epoch(),
+            pre_reduced=True,  # feed rows are ≤1 per mirror key by contract
+            truncate=horizon,
+            extra_meta=meta,
+        )
+
+    def resync(self, spark: SparkSession) -> None:
+        """Full rebuild: wipe the mirror and copy the source's live set as of
+        a PINNED snapshot (so a concurrent source commit cannot tear the
+        copy), then set the cursor to that snapshot."""
+        cur = self.source.current_snapshot()
+        shutil.rmtree(self.path, ignore_errors=True)
+        self._open_table()
+        if cur is None:
+            return
+        sid = int(cur["snapshot_id"])
+        src = self.source.read(spark, snapshot_id=sid)
+        meta = {"feed_cursor": sid}
+        if src is None:
+            self._apply(spark, None, sid, cur.get("truncate"))
+            return
+        rows = src.withColumn("is_deleted", F.lit(0))
+        if self.member_key is not None:
+            rows = rows.withColumn(
+                "_member_id",
+                F.concat_ws(
+                    _MEMBER_SEP,
+                    F.col(self.source.key),
+                    F.col(self.member_key).cast("string"),
+                ),
+            )
+        self.table.merge_lww(
+            spark,
+            rows,
+            epoch_id=0,
+            pre_reduced=True,
+            truncate=cur.get("truncate"),
+            extra_meta=meta,
+        )
+
+    # -- verification ----------------------------------------------------------
+
+    def diff_vs_source(self, spark: SparkSession) -> int:
+        """Distributed equality proof: |source.live \\ mirror.live| +
+        |mirror.live \\ source.live| over the shared columns (0 ⇔ the mirror
+        exactly equals the source's current live set).
+
+        Set-mode sources compare on (key, member, payload) WITHOUT the
+        (op, warc_ts, pos) order columns: an unchanged member is suppressed
+        from the feed by design (never re-upserted — the reference's skip of
+        unchanged chunks, incremental_pinecone_updater.py:245-277), so the
+        mirror legitimately keeps the member's ORIGINAL upsert metadata
+        while the source row carries its newest set's order. The payload —
+        what a vector store actually serves — must still match exactly."""
+        src = self.source.read(spark)
+        mir = self.table.read(spark)
+        if src is None or mir is None:
+            # equal only if both empty
+            a = 0 if src is None else src.count()
+            b = 0 if mir is None else mir.count()
+            return a + b
+        skip = {"_member_id", "is_deleted"}
+        if self.member_key is not None:
+            skip |= {"op", "warc_ts", "pos"}
+        cols = sorted((set(src.columns) & set(mir.columns)) - skip)
+        a = src.select(*cols)
+        b = mir.select(*cols)
+        return a.exceptAll(b).count() + b.exceptAll(a).count()

@@ -120,6 +120,37 @@ def main():
                 lk.epoch_window = 4
         return m
 
+    # feed-driven mirrors (round 6, VERDICT r5 item 2): durable consumers of
+    # BOTH tables' change feeds — pages row-granular, chunks member-granular
+    # — synced and proven equal to the source live set at every phase
+    # checkpoint. A window the retention no longer serves comes back as
+    # 'resync' (the full-rebuild escape hatch) and must STILL land equal.
+    from changedatacapture_spark.streaming.mirror import FeedMirror
+
+    mirrors: dict = {}
+    mirror_failures: list[str] = []
+
+    def sync_mirrors(m, label):
+        for t in tables:
+            for kind, src, mk in (
+                ("pages", m[t].pages, None),
+                ("chunks", m[t].chunks, "chunk_index"),
+            ):
+                k = (t, kind)
+                if k not in mirrors:
+                    mirrors[k] = FeedMirror(
+                        src, os.path.join(wd, "mirror", t, kind), member_key=mk
+                    )
+                else:
+                    mirrors[k].source = src  # fresh pipeline objects per phase
+                r = mirrors[k].sync(spark)
+                d = mirrors[k].diff_vs_source(spark)
+                print(f"[soak] mirror {t}/{kind} @{label}: {r} diff={d}", flush=True)
+                if d != 0:
+                    mirror_failures.append(
+                        f"{t}/{kind} mirror @{label}: diff={d} after {r}"
+                    )
+
     # phase 1: only half the segments visible → stream drains them and stops
     files = sorted(f for f in os.listdir(seg) if f.endswith(".parquet"))
     hidden = {}
@@ -128,10 +159,12 @@ def main():
         os.makedirs(os.path.dirname(hidden[f]), exist_ok=True)
         os.rename(os.path.join(seg, f), hidden[f])
     t0 = time.monotonic()
-    mk_pipes().run_stream(spark, seg, os.path.join(wd, "ckpt"),
-                          max_files_per_trigger=2, timeout_sec=7200)
+    m1 = mk_pipes()
+    m1.run_stream(spark, seg, os.path.join(wd, "ckpt"),
+                  max_files_per_trigger=2, timeout_sec=7200)
     phase1_sec = time.monotonic() - t0
     print(f"[soak] phase 1 done in {phase1_sec:.0f}s (budget {budget:.0f}s)", flush=True)
+    sync_mirrors(m1, "phase1")
 
     # crash-restart: restore segments, FRESH pipeline objects, same checkpoint
     for f, p in hidden.items():
@@ -142,6 +175,7 @@ def main():
                      max_files_per_trigger=2, timeout_sec=7200)
     phase2_sec = time.monotonic() - t0
     print(f"[soak] phase 2 (restart) done in {phase2_sec:.0f}s (budget {budget:.0f}s)", flush=True)
+    sync_mirrors(multi, "phase2")
 
     # change-feed base (round 5): everything phase 3 applies — including the
     # adoption's meta snapshot — must flow through read_changes from here;
@@ -216,12 +250,13 @@ def main():
                      max_files_per_trigger=2, timeout_sec=7200)
     phase3_sec = time.monotonic() - t0
     print(f"[soak] phase 3 (re-point + adoption) done in {phase3_sec:.0f}s", flush=True)
+    sync_mirrors(multi, "phase3")
     events = events + repoint_events
 
     def _rows(df):
         return [] if df is None else df.collect()
 
-    failures = []
+    failures = list(mirror_failures)
     # wall-clock tripwire: a throughput regression fails the soak even when
     # every byte still matches
     for name, sec in (("phase1", phase1_sec), ("phase2", phase2_sec)):
