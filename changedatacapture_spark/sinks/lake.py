@@ -6,10 +6,18 @@ engine ships a thin lake layer with the same semantics the north rule needs;
 the interface is exactly what an Iceberg backend would implement:
 
 - **Atomic commits**: each commit writes data files into an immutable
-  ``data/commit-{snapshot}/`` directory first, then publishes a snapshot JSON
-  and atomically swaps the ``_meta/_current.json`` pointer (``os.replace``).
-  A crash between the two leaves only unreferenced files — never a torn
-  table (SURVEY.md §7 'idempotent commits without real Iceberg').
+  ``data/commit-{snapshot}-{tag}/`` directory first, then publishes a
+  snapshot JSON and atomically swaps the ``_meta/_current.json`` pointer
+  (``os.replace``). A crash between the two leaves only unreferenced files —
+  never a torn table (SURVEY.md §7 'idempotent commits without real
+  Iceberg').
+- **Optimistic concurrency (round 6)**: multiple writer PROCESSES are safe —
+  the publish is a CAS on the snapshot id serialized by an advisory flock
+  (``_publish``); a commit built against a superseded snapshot raises
+  :class:`CommitConflictError`, append commits rebuild + retry inside
+  ``_commit``, and compact/replace_keys re-plan their whole body against
+  fresh state, so a maintenance job racing the streaming driver can never
+  drop either side's commit (tests/test_concurrency.py).
 - **Idempotent epoch commits**: every snapshot records the ``epoch_id`` it
   applied; the write methods no-op when the epoch is already in the log — so
   ``foreachBatch`` replays after a crash are exactly-once (the reference is
@@ -342,6 +350,15 @@ class ChangeFeedUnavailableError(RuntimeError):
     downstream mirror. Size ``retention_snapshots`` to the consumer lag."""
 
 
+class CommitConflictError(RuntimeError):
+    """A snapshot publish lost the optimistic-concurrency race: another
+    writer committed the same snapshot id first (see LakeTable._publish).
+    Append commits retry automatically inside ``_commit``; whole-table
+    operations (compact, replace_keys) re-plan against the fresh snapshot
+    and retry — their staged data files are unreferenced garbage that
+    ``vacuum`` reclaims."""
+
+
 class StaleEpochError(RuntimeError):
     """An epoch id below the idempotency window's eviction floor arrived —
     a checkpoint-reset/stale-replay ambiguity the engine refuses to resolve
@@ -575,27 +592,70 @@ class LakeTable:
         only safe when the old stream is truly gone. Published as a NEW
         snapshot (data untouched, manifests carried by reference) so
         historical ``snap-*.json`` stay immutable."""
-        snap = self.current_snapshot()
-        if snap is None:
-            return
-        new_snap = dict(snap)
-        new_snap["parent"] = snap["snapshot_id"]
-        new_snap["snapshot_id"] = snap["snapshot_id"] + 1
-        new_snap["epochs"] = {}
-        new_snap.pop("epoch_floor", None)
-        new_snap["meta"] = dict(snap.get("meta") or {}, epoch_log_reset=True)
-        new_snap["kind"] = "meta"
-        new_snap.pop("added", None)
-        self._publish(new_snap)
+        last_err = None
+        for _ in range(5):
+            snap = self.current_snapshot()
+            if snap is None:
+                return
+            new_snap = dict(snap)
+            new_snap["parent"] = snap["snapshot_id"]
+            new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+            new_snap["epochs"] = {}
+            new_snap.pop("epoch_floor", None)
+            new_snap["meta"] = dict(snap.get("meta") or {}, epoch_log_reset=True)
+            new_snap["kind"] = "meta"
+            new_snap.pop("added", None)
+            try:
+                self._publish(new_snap)
+                return
+            except CommitConflictError as e:
+                last_err = e  # metadata-only: rebuild on fresh state
+        raise last_err
 
     def _publish(self, snapshot: dict) -> None:
+        """Publish a snapshot under OPTIMISTIC CONCURRENCY (round 6 —
+        VERDICT r5 item 3, the Iceberg commit model): the table supports
+        multiple concurrent writer PROCESSES (e.g. the streaming driver
+        racing a maintenance job's compact/vacuum); a commit built against
+        a snapshot that is no longer current is REJECTED with
+        :class:`CommitConflictError` and the caller retries against fresh
+        state — no interleaving can drop another writer's commit.
+
+        Protocol, serialized by an advisory ``flock`` on
+        ``_meta/commit.lock`` (kernel-released if the holder dies):
+
+        1. re-read the pointer under the lock; if it reached ``sid`` a
+           concurrent writer won this id → conflict.
+        2. a ``snap-{sid}.json`` that exists while the pointer is still
+           behind is the torn publish of a writer that died between its
+           two steps (it provably holds no live lock — a live publisher
+           would still hold ours) → removed; its data files are
+           unreferenced garbage for ``vacuum``.
+        3. write the snapshot json, then atomically swap the pointer.
+
+        Readers never take the lock — the pointer swap stays a plain
+        ``os.replace``, so ``current_snapshot()`` is wait-free."""
+        import fcntl
+
         sid = snapshot["snapshot_id"]
-        with open(os.path.join(self.meta_dir, f"snap-{sid:012d}.json"), "w") as f:
-            json.dump(snapshot, f)
-        tmp = os.path.join(self.meta_dir, f"_current.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snapshot, f)
-        os.replace(tmp, self._current_path())  # atomic pointer swap
+        with open(os.path.join(self.meta_dir, "commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cur = self.current_snapshot()
+            if cur is not None and int(cur["snapshot_id"]) >= sid:
+                raise CommitConflictError(
+                    f"snapshot {sid} was committed by a concurrent writer "
+                    f"(current is {cur['snapshot_id']}) — rebuild against "
+                    "the fresh snapshot and retry"
+                )
+            snap_path = os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
+            if os.path.exists(snap_path):
+                os.remove(snap_path)  # torn publish of a dead writer
+            with open(snap_path, "w") as f:
+                json.dump(snapshot, f)
+            tmp = os.path.join(self.meta_dir, f"_current.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(snapshot, f)
+            os.replace(tmp, self._current_path())  # atomic pointer swap
 
     # -- manifests --------------------------------------------------------------
 
@@ -1653,12 +1713,25 @@ class LakeTable:
             by_path.setdefault(r["f"], []).append(r["bm"])
         return {p: _bloom_or(m_by_path[p], bms) for p, bms in by_path.items()}
 
-    def _write_buckets(self, df: DataFrame, snapshot_id: int) -> dict[str, list[dict]]:
+    def _write_buckets(
+        self, df: DataFrame, snapshot_id: int, tag: str = ""
+    ) -> dict[str, list[dict]]:
         """Write df (already carrying _bucket) partitioned by bucket into an
         immutable commit dir; return bucket → manifest entries (path, rows,
         key bloom). File stats come from ``_file_stats_job`` — a distributed
-        aggregate over the just-written files, never a driver-side read."""
-        commit_dir = os.path.join(self.data_dir, f"commit-{snapshot_id:012d}")
+        aggregate over the just-written files, never a driver-side read.
+
+        ``tag`` (concurrent-writer safety): a per-attempt suffix keeps two
+        racing writers that both target snapshot id N from writing into the
+        SAME directory (the loser's CommitConflictError would otherwise
+        come too late — its overwrite could already have clobbered the
+        winner's data files). The loser's dir is never referenced and is
+        reclaimed by vacuum. Dir names stay monotone in sid (zero-padded
+        prefix), so the read-path commit tiebreak and the feed's
+        ``commit-([0-9]+)`` extraction are unchanged."""
+        commit_dir = os.path.join(
+            self.data_dir, f"commit-{snapshot_id:012d}" + (f"-{tag}" if tag else "")
+        )
         # co-locate each bucket in one task → one file per touched bucket
         # (without this, every reduce task writes a sliver of every bucket:
         # tasks × buckets small files)
@@ -1723,96 +1796,153 @@ class LakeTable:
 
         ``keep_files``: for file-scoped rewrites (replace_keys) — the
         entries of the touched buckets that survive unchanged alongside the
-        newly written files."""
-        snap = self.current_snapshot()
-        parent = snap["snapshot_id"] if snap else 0
-        sid = parent + 1
-        written = self._write_buckets(new_rows, sid)
-        refs: dict[str, str | list] = dict(snap["buckets"]) if snap else {}
-        if full_replace:
-            # whole-table rewrite (full compaction / rebucketing): only the
-            # files just written are live
-            refs = {b: self._write_manifest(es) for b, es in written.items() if es}
-        elif append:
-            for b, es in written.items():
-                if not es:
-                    continue
-                prev = (
-                    self._entries_of_ref(refs[b]) if b in refs else []
+        newly written files.
+
+        Concurrent writers (VERDICT r5 item 3): the publish is an
+        optimistic-concurrency CAS (see ``_publish``). APPEND commits that
+        lose the race are rebuilt here against the fresh snapshot and
+        retried — an append's data files are new by construction, so the
+        only state to recompute is metadata (manifest refs, epoch window,
+        horizon folds), and a concurrently-committed identical epoch turns
+        the retry into the normal already-applied no-op. NON-append commits
+        (compact/replace) stage data derived from the snapshot they read —
+        retrying them here with stale inputs could drop a concurrent
+        append's rows — so the conflict propagates as
+        :class:`CommitConflictError` and the OPERATION re-plans (compact
+        and replace_keys re-run their whole body against fresh state)."""
+        last_err: CommitConflictError | None = None
+        for _attempt in range(5):
+            snap = self.current_snapshot()
+            parent = snap["snapshot_id"] if snap else 0
+            sid = parent + 1
+            if (
+                epoch_id is not None
+                and snap is not None
+                and str(epoch_id) in snap["epochs"]
+            ):
+                return None  # a concurrent writer already applied this epoch
+            if append:
+                # the append-onto-empty-table resolution shortcut must be
+                # re-derived per attempt — a concurrent commit may have
+                # populated the table since the caller computed it
+                resolved = not (snap is not None and any(snap["buckets"].values()))
+                if snap is not None:
+                    # a concurrent writer may have evolved columns since the
+                    # caller computed its merged schema — union them in, or
+                    # this snapshot's schema list would hide them from every
+                    # reader (our data files simply null-fill them)
+                    have = {n for n, _ in self._current_write_schema}
+                    extra = [
+                        (n, t) for n, t in snap["schema"] if n not in have
+                    ]
+                    if extra:
+                        self._current_write_schema = (
+                            list(self._current_write_schema) + extra
+                        )
+            tag = uuid.uuid4().hex[:8]
+            written = self._write_buckets(new_rows, sid, tag)
+            refs: dict[str, str | list] = dict(snap["buckets"]) if snap else {}
+            if full_replace:
+                # whole-table rewrite (full compaction / rebucketing): only
+                # the files just written are live
+                refs = {b: self._write_manifest(es) for b, es in written.items() if es}
+            elif append:
+                for b, es in written.items():
+                    if not es:
+                        continue
+                    prev = (
+                        self._entries_of_ref(refs[b]) if b in refs else []
+                    )
+                    refs[b] = self._write_manifest(prev + es)
+                if not any(written.values()) and snap is not None:
+                    # an empty append (e.g. a chunks epoch where every key
+                    # was skipped) changes no data — keep the resolution
+                    # state
+                    resolved = snap.get("resolved", True)
+            else:
+                for b in touched_buckets or []:
+                    entries = list((keep_files or {}).get(str(b), [])) + written.get(str(b), [])
+                    if entries:
+                        refs[str(b)] = self._write_manifest(entries)
+                    else:
+                        refs.pop(str(b), None)
+            epochs = dict(snap["epochs"]) if snap else {}
+            epoch_floor = int(snap.get("epoch_floor", -1)) if snap else -1
+            if epoch_id is not None:
+                epochs[str(epoch_id)] = sid
+            # bound the idempotency log: Spark re-delivers only recent epochs
+            # after a restart (checkpointed offsets are monotonic), so a
+            # sliding window of the newest entries suffices — keeps snapshot
+            # JSON O(1) over a 10^10-event run instead of O(epochs). Evicted
+            # ids raise the monotone ``epoch_floor``: a replay OLDER than the
+            # window is then still recognized as already-applied
+            # (epoch_committed) instead of silently re-applied after its
+            # window entry is gone.
+            if len(epochs) > self.epoch_window:
+                keep = sorted(epochs, key=int)[-self.epoch_window:]
+                kept = set(keep)
+                epoch_floor = max(
+                    [epoch_floor] + [int(k) for k in epochs if k not in kept]
                 )
-                refs[b] = self._write_manifest(prev + es)
-            if not any(written.values()) and snap is not None:
-                # an empty append (e.g. a chunks epoch where every key was
-                # skipped) changes no data — keep the resolution state
-                resolved = snap.get("resolved", True)
-        else:
-            for b in touched_buckets or []:
-                entries = list((keep_files or {}).get(str(b), [])) + written.get(str(b), [])
-                if entries:
-                    refs[str(b)] = self._write_manifest(entries)
-                else:
-                    refs.pop(str(b), None)
-        epochs = dict(snap["epochs"]) if snap else {}
-        epoch_floor = int(snap.get("epoch_floor", -1)) if snap else -1
-        if epoch_id is not None:
-            epochs[str(epoch_id)] = sid
-        # bound the idempotency log: Spark re-delivers only recent epochs
-        # after a restart (checkpointed offsets are monotonic), so a sliding
-        # window of the newest entries suffices — keeps snapshot JSON O(1)
-        # over a 10^10-event run instead of O(epochs). Evicted ids raise the
-        # monotone ``epoch_floor``: a replay OLDER than the window is then
-        # still recognized as already-applied (epoch_committed) instead of
-        # silently re-applied after its window entry is gone.
-        if len(epochs) > self.epoch_window:
-            keep = sorted(epochs, key=int)[-self.epoch_window:]
-            kept = set(keep)
-            epoch_floor = max(
-                [epoch_floor] + [int(k) for k in epochs if k not in kept]
+                epochs = {k: epochs[k] for k in keep}
+            # the truncate horizon is monotone and persists across
+            # compaction: a late event older than the horizon must still die
+            # at read time
+            prev_tr = snap.get("truncate") if snap else None
+            horizon = max(
+                (list(t) for t in (prev_tr, truncate) if t is not None), default=None
             )
-            epochs = {k: epochs[k] for k in keep}
-        # the truncate horizon is monotone and persists across compaction:
-        # a late event older than the horizon must still die at read time
-        prev_tr = snap.get("truncate") if snap else None
-        horizon = max(
-            (list(t) for t in (prev_tr, truncate) if t is not None), default=None
-        )
-        # evolved-column LOGICAL types: monotone widen-only fold of per-batch
-        # votes (operators.evolution.widen_type); the physical column stays
-        # string, so a widen is pure metadata — carried forward by every
-        # commit (compaction/replace included), like the truncate horizon
-        etypes = dict(snap.get("evolved_types") or {}) if snap else {}
-        for c, t in (evolved_types or {}).items():
-            etypes[c] = widen_type(etypes.get(c), t)
-        new_snap = {
-            "snapshot_id": sid,
-            "parent": parent,
-            "schema": [list(c) for c in self._current_write_schema],
-            "n_buckets": self.n_buckets,
-            "buckets": refs,
-            "epochs": epochs,
-            "resolved": resolved,
-            "meta": extra_meta or {},
-            "kind": kind,
-        }
-        if kind == "append":
-            added = [dict(e, b=b) for b, es in written.items() for e in es]
-            if added:
-                new_snap["added"] = self._write_manifest(added)
-        if epoch_floor >= 0:
-            new_snap["epoch_floor"] = epoch_floor
-        if horizon is not None:
-            new_snap["truncate"] = horizon
-        if etypes:
-            new_snap["evolved_types"] = etypes
-        self._publish(new_snap)
-        # evict superseded manifests from the in-memory cache: over 10^5
-        # epochs every commit adds O(touched buckets) entries and the
-        # superseded ones would otherwise accumulate into a driver leak
-        live_refs = {r for r in refs.values() if isinstance(r, str)}
-        self._manifest_cache = {
-            k: v for k, v in self._manifest_cache.items() if k in live_refs
-        }
-        return new_snap
+            # evolved-column LOGICAL types: monotone widen-only fold of
+            # per-batch votes (operators.evolution.widen_type); the physical
+            # column stays string, so a widen is pure metadata — carried
+            # forward by every commit (compaction/replace included), like
+            # the truncate horizon
+            etypes = dict(snap.get("evolved_types") or {}) if snap else {}
+            for c, t in (evolved_types or {}).items():
+                etypes[c] = widen_type(etypes.get(c), t)
+            new_snap = {
+                "snapshot_id": sid,
+                "parent": parent,
+                "schema": [list(c) for c in self._current_write_schema],
+                "n_buckets": self.n_buckets,
+                "buckets": refs,
+                "epochs": epochs,
+                "resolved": resolved,
+                "meta": extra_meta or {},
+                "kind": kind,
+            }
+            if kind == "append":
+                added = [dict(e, b=b) for b, es in written.items() for e in es]
+                if added:
+                    new_snap["added"] = self._write_manifest(added)
+            if epoch_floor >= 0:
+                new_snap["epoch_floor"] = epoch_floor
+            if horizon is not None:
+                new_snap["truncate"] = horizon
+            if etypes:
+                new_snap["evolved_types"] = etypes
+            try:
+                self._publish(new_snap)
+            except CommitConflictError as e:
+                # this attempt's staged files are unreferenced — reclaim
+                # them now rather than waiting for vacuum
+                shutil.rmtree(
+                    os.path.join(self.data_dir, f"commit-{sid:012d}-{tag}"),
+                    ignore_errors=True,
+                )
+                if not append:
+                    raise  # compact/replace must re-plan on fresh state
+                last_err = e
+                continue
+            # evict superseded manifests from the in-memory cache: over 10^5
+            # epochs every commit adds O(touched buckets) entries and the
+            # superseded ones would otherwise accumulate into a driver leak
+            live_refs = {r for r in refs.values() if isinstance(r, str)}
+            self._manifest_cache = {
+                k: v for k, v in self._manifest_cache.items() if k in live_refs
+            }
+            return new_snap
+        raise last_err
 
     def _entries_of_ref(self, ref) -> list[dict]:
         if isinstance(ref, list):  # legacy inline
@@ -1974,6 +2104,24 @@ class LakeTable:
         keys: DataFrame,
         epoch_id: int | None = None,
     ) -> dict | None:
+        """Concurrency wrapper around :meth:`_replace_keys_once`: a rewrite
+        that loses the snapshot race re-plans against the fresh snapshot
+        (its file scope may have grown) — see :meth:`compact`."""
+        last_err = None
+        for _ in range(5):
+            try:
+                return self._replace_keys_once(spark, rows, keys, epoch_id)
+            except CommitConflictError as e:
+                last_err = e
+        raise last_err
+
+    def _replace_keys_once(
+        self,
+        spark: SparkSession,
+        rows: DataFrame,
+        keys: DataFrame,
+        epoch_id: int | None = None,
+    ) -> dict | None:
         """Delete-then-insert per key: drop all existing rows whose key is in
         ``keys``, insert ``rows`` (reference SET1: delete-by-category then
         re-insert, auto_gen_rag.py:174-191 — as one atomic FILE-scoped
@@ -2055,6 +2203,32 @@ class LakeTable:
         return max((len(es) for es in self._entries(snap).values()), default=0)
 
     def compact(
+        self,
+        spark: SparkSession,
+        *,
+        drop_tombstones_before=None,
+        min_files: int | None = None,
+        n_buckets: int | None = None,
+    ) -> dict | None:
+        """Concurrency wrapper around :meth:`_compact_once`: a compaction
+        that loses the snapshot race to a concurrent append re-PLANS from
+        the fresh snapshot (re-reading the now-larger delta stacks) rather
+        than blindly re-publishing — a blind retry would drop the rows the
+        concurrent commit appended (the Iceberg rewrite-validation model)."""
+        last_err = None
+        for _ in range(5):
+            try:
+                return self._compact_once(
+                    spark,
+                    drop_tombstones_before=drop_tombstones_before,
+                    min_files=min_files,
+                    n_buckets=n_buckets,
+                )
+            except CommitConflictError as e:
+                last_err = e
+        raise last_err
+
+    def _compact_once(
         self,
         spark: SparkSession,
         *,

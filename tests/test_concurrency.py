@@ -1,0 +1,161 @@
+"""Concurrent-writer safety (round 6, VERDICT r5 item 3): the snapshot
+publish is an optimistic-concurrency CAS serialized by an flock on
+``_meta/commit.lock`` — no interleaving of a streaming driver with a
+maintenance job (or two drivers) can drop a commit. Append commits rebuild
+and retry inside ``_commit``; compact/replace re-PLAN their whole body on
+conflict (a blind re-publish would drop the concurrent append's rows)."""
+
+import datetime as dt
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.sinks.lake import CommitConflictError, LakeTable
+
+_SCHEMA = (
+    "url string, op string, warc_ts timestamp, pos long, is_deleted int, val long"
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _rows(spark, tag, n, base_pos):
+    return spark.createDataFrame(
+        [(f"{tag}-{i}", "c", _ts(base_pos + i), base_pos + i, 0, i) for i in range(n)],
+        _SCHEMA,
+    )
+
+
+def test_publish_cas_rejects_raced_snapshot_id(spark, tmp_path):
+    """Two handles build against the same parent; the second publish of the
+    same snapshot id must fail with CommitConflictError, never overwrite."""
+    t1 = LakeTable(str(tmp_path / "t"), key="url", n_buckets=2)
+    t1.merge_lww(spark, _rows(spark, "a", 3, 0), epoch_id=0)
+    cur = t1.current_snapshot()
+    loser = dict(cur, snapshot_id=cur["snapshot_id"])  # id already taken
+    with pytest.raises(CommitConflictError):
+        t1._publish(loser)
+    # and an id BEHIND the pointer is equally refused
+    with pytest.raises(CommitConflictError):
+        t1._publish(dict(cur, snapshot_id=cur["snapshot_id"] - 1))
+
+
+def test_torn_publish_is_recovered(spark, tmp_path):
+    """A writer that died between writing snap-N.json and swapping the
+    pointer leaves a torn commit; the next writer (who can only reach that
+    state holding the lock the dead writer no longer does) removes it and
+    commits normally."""
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge_lww(spark, _rows(spark, "a", 3, 0), epoch_id=0)
+    sid = t.current_snapshot()["snapshot_id"]
+    orphan = os.path.join(t.meta_dir, f"snap-{sid + 1:012d}.json")
+    with open(orphan, "w") as f:
+        json.dump({"snapshot_id": sid + 1, "torn": True}, f)
+    out = t.merge_lww(spark, _rows(spark, "b", 2, 100), epoch_id=1)
+    assert out is not None and out["snapshot_id"] == sid + 1
+    with open(orphan) as f:
+        assert "torn" not in json.load(f)  # replaced by the real commit
+    assert t.read(spark).count() == 5
+
+
+def test_two_threads_interleaved_merges_lose_nothing(spark, tmp_path):
+    """The real race: two writer handles on the same table path, merging
+    from two threads concurrently. Every epoch must land (retry on
+    conflict), the snapshot chain must be contiguous, and the final live
+    set must be the union of both writers' keys."""
+    path = str(tmp_path / "t")
+    t1 = LakeTable(path, key="url", n_buckets=4)
+    t2 = LakeTable(path, key="url", n_buckets=4)
+    n_epochs, rows_per = 4, 5
+    errs: list = []
+    gate = threading.Barrier(2)
+
+    def writer(table, tag, epoch_base):
+        try:
+            gate.wait()
+            for e in range(n_epochs):
+                table.merge_lww(
+                    spark,
+                    _rows(spark, f"{tag}{e}", rows_per, epoch_base * 10 + e * 1000),
+                    epoch_id=epoch_base + e,
+                )
+        except Exception as ex:  # surfaced below
+            errs.append(ex)
+
+    th1 = threading.Thread(target=writer, args=(t1, "a", 0))
+    th2 = threading.Thread(target=writer, args=(t2, "b", 100))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    final = LakeTable(path, key="url", n_buckets=4)
+    snap = final.current_snapshot()
+    # all 8 epochs committed exactly once
+    assert set(snap["epochs"]) == {str(e) for e in list(range(4)) + list(range(100, 104))}
+    # contiguous snapshot chain: one commit per epoch, no lost/skipped sid
+    assert snap["snapshot_id"] == 2 * n_epochs
+    # the live set is the union of both writers' keys
+    assert final.read(spark).count() == 2 * n_epochs * rows_per
+
+
+def test_compact_replans_when_racing_an_append(spark, tmp_path):
+    """Deterministic race: a concurrent merge lands between compact's read
+    and its publish. The compaction's first attempt must CONFLICT (not
+    silently drop the merge), and the re-planned attempt must fold the
+    merged rows in."""
+    path = str(tmp_path / "t")
+    t1 = LakeTable(path, key="url", n_buckets=4)
+    t2 = LakeTable(path, key="url", n_buckets=4)
+    for e in range(3):
+        t1.merge_lww(spark, _rows(spark, f"a{e}", 4, e * 100), epoch_id=e)
+    orig = t1._publish
+    fired = {"n": 0}
+
+    def racy(snapshot):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the concurrent writer sneaks in AFTER compact staged its data
+            t2.merge_lww(spark, _rows(spark, "race", 3, 9000), epoch_id=50)
+        return orig(snapshot)
+
+    t1._publish = racy
+    out = t1.compact(spark)
+    assert out is not None and out["kind"] == "compact"
+    assert fired["n"] == 1  # the race actually happened
+    final = LakeTable(path, key="url", n_buckets=4)
+    live = {r["url"] for r in final.read(spark).collect()}
+    assert {"race-0", "race-1", "race-2"} <= live  # nothing dropped
+    assert len(live) == 3 * 4 + 3
+    assert "50" in final.current_snapshot()["epochs"]  # epoch survived too
+
+
+def test_append_retry_unions_concurrently_evolved_schema(spark, tmp_path):
+    """A retried append must carry forward columns a concurrent writer
+    evolved between its read and its publish."""
+    path = str(tmp_path / "t")
+    t1 = LakeTable(path, key="url", n_buckets=2)
+    t2 = LakeTable(path, key="url", n_buckets=2)
+    t1.merge_lww(spark, _rows(spark, "a", 2, 0), epoch_id=0)
+    orig = t1._publish
+    fired = {"n": 0}
+
+    def racy(snapshot):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2.merge_lww(
+                spark,
+                _rows(spark, "evo", 2, 500).withColumn("x_new", F.lit("v")),
+                epoch_id=10,
+            )
+        return orig(snapshot)
+
+    t1._publish = racy
+    t1.merge_lww(spark, _rows(spark, "b", 2, 100), epoch_id=1)
+    final = LakeTable(path, key="url", n_buckets=2)
+    cols = {n for n, _ in final.schema_columns()}
+    assert "x_new" in cols  # not hidden by the retried append's snapshot
+    got = {r["url"]: r["x_new"] for r in final.read(spark).collect()}
+    assert got["evo-0"] == "v" and got["b-0"] is None
