@@ -11,7 +11,9 @@ own lineage instead of duplicating it — idempotent like the data commit.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -193,3 +195,45 @@ class DeadLetterLog:
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
+
+    # -- replay bookkeeping (round 6, VERDICT r5 item 6) -----------------------
+    #
+    # A quarantine epoch that has been repaired-and-reinjected is recorded in
+    # replayed.json so a second replay call re-feeds nothing; rows a replay
+    # itself re-quarantines (still unparseable after repair) get a fresh
+    # REPLAY id (>= _REPLAY_BASE — a value column + dir name only, never a
+    # stream epoch: stream ids belong to the checkpoint's counter) and stay
+    # pending for the next repair attempt.
+
+    _REPLAY_BASE = 1_000_000_000
+
+    def _replayed_path(self) -> str:
+        return os.path.join(self.path, "replayed.json")
+
+    def replayed_epochs(self) -> set[int]:
+        try:
+            with open(self._replayed_path()) as f:
+                return set(json.load(f))
+        except FileNotFoundError:
+            return set()
+
+    def mark_replayed(self, epochs) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        merged = sorted(self.replayed_epochs() | {int(e) for e in epochs})
+        tmp = self._replayed_path() + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._replayed_path())
+
+    def next_replay_id(self) -> int:
+        """A fresh quarantine id for rows re-quarantined BY a replay —
+        monotone above _REPLAY_BASE, idempotent per replay attempt (the
+        attempt's record() overwrites its own dir on a crash-rerun)."""
+        if not os.path.isdir(self.path):
+            return self._REPLAY_BASE
+        ids = [
+            int(d[len("epoch-"):])
+            for d in os.listdir(self.path)
+            if d.startswith("epoch-") and d[len("epoch-"):].isdigit()
+        ]
+        return max([i for i in ids if i >= self._REPLAY_BASE] + [self._REPLAY_BASE - 1]) + 1

@@ -118,7 +118,14 @@ class CdcPipeline:
 
     # -- the foreachBatch body -------------------------------------------------
 
-    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int | None) -> None:
+        """``epoch_id=None`` = UNLOGGED mode (the dead-letter replay path):
+        merges skip the epoch log — a stream epoch id belongs to the
+        checkpoint's batch counter, and a replay claiming one would make
+        the stream silently no-op that future batch — and maintenance/
+        lineage are skipped. Safe because a replay's rows are exactly
+        reproducible: a crash-rerun re-applies IDENTICAL rows, which
+        collapse under LWW/set resolution to the same state."""
         t0 = time.monotonic()
         phases: dict[str, float] = {}
 
@@ -133,8 +140,11 @@ class CdcPipeline:
         if "_corrupt_raw" in batch_df.columns:
             # quarantine BEFORE the envelope filters drop these rows; the
             # write is epoch-named-overwrite idempotent like lineage, and the
-            # parquet-segment hot path never carries the column (zero cost)
-            n_corrupt = self.quarantine.record(batch_df, epoch_id)
+            # parquet-segment hot path never carries the column (zero cost).
+            # Replays re-quarantine still-corrupt rows under a REPLAY id so
+            # they stay pending for the next repair attempt.
+            qid = epoch_id if epoch_id is not None else self.quarantine.next_replay_id()
+            n_corrupt = self.quarantine.record(batch_df, qid)
             mark("quarantine", tick)
         parsed = envelope.parse_envelope(batch_df)
 
@@ -281,6 +291,16 @@ class CdcPipeline:
                 )
                 mark("chunks", tick)
 
+            if epoch_id is None:
+                # unlogged replay: no lineage/maintenance bookkeeping — the
+                # replay marker (quarantine.mark_replayed) is the audit unit
+                self.metrics.append(
+                    {"epoch": None, "rows": rows_in,
+                     "wall_ms": int((time.monotonic() - t0) * 1000),
+                     "salted": bool(salt), "end_mono": time.monotonic(),
+                     "phases": phases}
+                )
+                return
             if pages_replayed:
                 # backfill lineage lost to a crash between the pages commit
                 # and the lineage write (idempotent epoch-named overwrite)
@@ -360,6 +380,31 @@ class CdcPipeline:
         if self.ann_index is not None:
             self.ann_index.table.reset_epoch_log()
 
+    def replay_dead_letters(self, spark: SparkSession, repair_fn=None) -> dict:
+        """Repair-and-reinject quarantined rows through the NORMAL envelope →
+        LWW → MERGE → chunks path (VERDICT r5 item 6:
+        ``scripts/run_pipeline.py --replay-dead-letters``). Run while the
+        stream is stopped — it is an operator action, like compacting from a
+        second process (commits share the optimistic-concurrency publish).
+
+        Idempotency is two-layered: (1) replay-level — every consumed
+        quarantine epoch is marked in ``replayed.json`` afterwards, so a
+        second call re-feeds nothing; (2) data-level — the merges run
+        UNLOGGED (``epoch_id=None``: stream epoch ids belong to the
+        checkpoint's counter, and claiming one here would make the stream
+        silently skip that future batch), so a crash between apply and
+        marker can only re-apply IDENTICAL rows, which collapse under
+        LWW/set resolution to the unchanged state (pinned in
+        tests/test_replay_dead_letters.py).
+
+        ``repair_fn`` (str → str, Arrow-batched executor-side) corrects each
+        raw line; lines that STILL fail to parse re-quarantine under a fresh
+        replay id (≥ 10^9, a bookkeeping namespace — never a stream epoch)
+        and stay pending for the next repair attempt."""
+        return _replay_dead_letters(
+            spark, self.quarantine, self.apply_batch, repair_fn
+        )
+
     def _maybe_expire(self) -> None:
         if not self.expire_keep:
             return
@@ -399,8 +444,9 @@ class CdcPipeline:
         # reset_epoch_log() on pages alone would let the new stream's epochs
         # silently skip here forever — _check_epoch raises StaleEpochError
         # for sub-floor-but-not-in-window ids instead (resolve with the
-        # pipeline-level reset_epoch_logs(), which resets every table)
-        if self.chunks._check_epoch(epoch_id):
+        # pipeline-level reset_epoch_logs(), which resets every table).
+        # epoch_id=None (unlogged dead-letter replay) has no log entry.
+        if epoch_id is not None and self.chunks._check_epoch(epoch_id):
             return  # replayed chunks epoch: skip plan construction entirely
 
         b_key = order_key_cols(F.col("op"), F.col("warc_ts"), F.col("pos"))
@@ -611,6 +657,45 @@ class CdcPipeline:
         self.apply_batch(df, epoch_id=0)
 
 
+def _replay_dead_letters(
+    spark: SparkSession, quarantine, apply_fn, repair_fn=None
+) -> dict:
+    """Shared replay body (see CdcPipeline.replay_dead_letters): read the
+    pending quarantine epochs, repair the raw lines executor-side, feed them
+    through the pipeline's normal apply in unlogged mode, then mark the
+    consumed epochs replayed."""
+    q = quarantine.read(spark)
+    if q is None:
+        return {"quarantine_epochs": [], "rows": 0}
+    done = quarantine.replayed_epochs()
+    pending = q
+    if done:
+        pending = q.where(~F.col("epoch_id").isin([int(x) for x in done]))
+    # O(quarantine epochs) ids to the driver — never row payloads
+    qepochs = sorted(
+        int(r["epoch_id"]) for r in pending.select("epoch_id").distinct().collect()
+    )
+    if not qepochs:
+        return {"quarantine_epochs": [], "rows": 0}
+    n = pending.count()
+    raw = pending.select(F.col("raw").alias("value"))
+    if repair_fn is not None:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        def _repair_series(s):
+            return s.map(lambda x: None if x is None else repair_fn(x))
+
+        # explicit returnType form: the decorator's type-hint inference can't
+        # see locally-imported pandas under `from __future__ import annotations`
+        _repair = pandas_udf(_repair_series, StringType())
+        raw = raw.select(_repair("value").alias("value"))
+    batch = envelope._project_jsonl(raw, keep_corrupt=True)
+    apply_fn(batch, None)
+    quarantine.mark_replayed(qepochs)
+    return {"quarantine_epochs": qepochs, "rows": int(n)}
+
+
 def run_cdc_stream(
     spark: SparkSession,
     segments_dir: str,
@@ -703,13 +788,22 @@ class MultiTablePipeline:
         for pipe in self.pipes.values():
             pipe.reset_epoch_logs()
 
+    def replay_dead_letters(self, spark: SparkSession, repair_fn=None) -> dict:
+        """Dead-letter replay for the fan-in shape: repaired lines route to
+        their tables through the same dispatch as live batches (see
+        CdcPipeline.replay_dead_letters for the idempotency contract)."""
+        return _replay_dead_letters(
+            spark, self.quarantine, self.apply_batch, repair_fn
+        )
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         # one-pass dispatch: materialize the parsed batch into the cache with
         # a single scan of the raw segments, then slice per table from
         # memory — without this, a foreachBatch file-source DataFrame
         # re-scans the segment files on EVERY per-table action (T passes)
         if "_corrupt_raw" in batch_df.columns:
-            self.quarantine.record(batch_df, epoch_id)
+            qid = epoch_id if epoch_id is not None else self.quarantine.next_replay_id()
+            self.quarantine.record(batch_df, qid)
             batch_df = batch_df.drop(
                 "_corrupt_raw", "_corrupt_src", "_corrupt_offset"
             )

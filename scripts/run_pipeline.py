@@ -55,6 +55,18 @@ def main():
         "StaleEpochError instead of silently dropping or double-applying "
         "data. Only safe when the old stream is truly gone.",
     )
+    ap.add_argument(
+        "--replay-dead-letters", action="store_true",
+        help="instead of streaming: repair-and-reinject quarantined rows "
+        "through the normal envelope path (run while the stream is "
+        "stopped), mark them replayed, and exit. Rows still corrupt after "
+        "--repair re-quarantine and stay pending.",
+    )
+    ap.add_argument(
+        "--repair", default=None, metavar="MODULE:FUNCTION",
+        help="line-repair hook for --replay-dead-letters: a python "
+        "'module:function' (str -> str) importable on driver AND executors",
+    )
     args = ap.parse_args()
 
     from changedatacapture_spark.streaming.driver import CdcPipeline, MultiTablePipeline
@@ -93,6 +105,19 @@ def main():
             )
     if args.adopt_new_stream:
         pipe.reset_epoch_logs()
+    if args.replay_dead_letters:
+        repair_fn = None
+        if args.repair:
+            import importlib
+
+            mod, _, fn = args.repair.partition(":")
+            repair_fn = getattr(importlib.import_module(mod), fn)
+        out = pipe.replay_dead_letters(spark, repair_fn=repair_fn)
+        print(
+            f"replayed {out['rows']} dead-lettered rows from quarantine "
+            f"epochs {out['quarantine_epochs']}"
+        )
+        return
     query = pipe.run_stream(
         spark,
         args.segments,
