@@ -295,7 +295,23 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
                 changes_feed()  # untimed warmup
             timed("lake_changes_feed", changes_feed)
             extras["changes_window_commits"] = len([s for s in sids if s > base_sid])
-            spark.catalog.clearCache()  # read_changes persists its winners
+
+            # round 6: the SET-mode member-granular feed on the chunks table
+            # — the downstream vector-store sync surface (one row per
+            # changed (url, chunk), unchanged members suppressed)
+            chunks_t = full_state["spipe"].chunks
+            csids = sorted(chunks_t.committed_epochs().values())
+            cbase = csids[len(csids) // 2] if csids else 0
+
+            def chunk_feed():
+                df = chunks_t.read_changes(spark, cbase, member_key="chunk_index")
+                extras["chunk_feed_rows"] = df.count() if df is not None else 0
+
+            if not only or "lake_chunk_changes" in only:
+                chunk_feed()  # untimed warmup
+            timed("lake_chunk_changes", chunk_feed)
+            # round 6 removed the feed's persist (ADVICE r5) — no cache to
+            # clear between bench queries anymore
             shutil.rmtree(full_state["lake"], ignore_errors=True)
 
         # -- update-heavy feed: 80% of urls carry content-no-op updates -------

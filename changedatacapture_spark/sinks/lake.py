@@ -1144,6 +1144,7 @@ class LakeTable:
                 f"{h1} downstream"
             )
         win_files: list[str] = []
+        sidecars: list[str] = []  # replace commits' replaced-key sidecars
         for sid in range(since + 1, until + 1):
             s = snap_until if sid == until else self.snapshot(sid)
             if s is None:
@@ -1154,6 +1155,24 @@ class LakeTable:
             kind = s.get("kind")
             if kind in ("compact", "meta"):
                 continue  # logical state unchanged — transparent to the feed
+            if kind == "replace":
+                # representable IFF the commit recorded its equality-delete
+                # sidecar (round 6) — the window is then served by the
+                # state-diff path below (a key can vanish in a replace
+                # without leaving any row, so window files alone can't)
+                rk = (s.get("meta") or {}).get("replaced_keys")
+                if rk is None:
+                    raise ChangeFeedUnavailableError(
+                        f"snapshot {sid} is a pre-round-6 replace commit "
+                        "(no replaced-keys record) — re-sync from read()"
+                    )
+                if not os.path.isdir(self._abs(rk)):
+                    raise ChangeFeedUnavailableError(
+                        f"snapshot {sid}'s replaced-keys record was expired "
+                        "— re-sync from read()"
+                    )
+                sidecars.append(self._abs(rk))
+                continue
             if kind != "append":
                 raise ChangeFeedUnavailableError(
                     f"snapshot {sid} is a {kind or 'pre-change-feed'} commit "
@@ -1169,20 +1188,31 @@ class LakeTable:
                 f"{len(missing)} window data files were vacuumed — raise "
                 "retention_snapshots or re-sync from read()"
             )
-        if not win_files:
+        if not win_files and not sidecars:
             return None
         schema = [tuple(c) for c in snap_until["schema"]]
-        df = self._read_files(spark, win_files, schema)
-        # commit id from the physical path — materialized BEFORE any
-        # exchange (input_file_name is undefined after a shuffle)
-        df = df.withColumn(
-            "_commit_sid",
-            F.regexp_extract(F.input_file_name(), "commit-([0-9]+)", 1).cast("bigint"),
-        )
-        if self.mode == "set":
-            out = self._changes_set(spark, df, snap_since, member_key)
+        if sidecars:
+            # a replace rewrite is NOT LWW-ordered (it can change payloads
+            # without touching order keys), so the window-winner algebra
+            # doesn't apply — serve the window as a STATE DIFF between the
+            # two snapshots instead, probed to exactly the touched keys
+            out = self._changes_state_diff(
+                spark, win_files, sidecars, snap_since, snap_until, member_key
+            )
         else:
-            out = self._changes_row(spark, df, snap_since)
+            df = self._read_files(spark, win_files, schema)
+            # commit id from the physical path — materialized BEFORE any
+            # exchange (input_file_name is undefined after a shuffle)
+            df = df.withColumn(
+                "_commit_sid",
+                F.regexp_extract(
+                    F.input_file_name(), "commit-([0-9]+)", 1
+                ).cast("bigint"),
+            )
+            if self.mode == "set":
+                out = self._changes_set(spark, df, snap_since, member_key)
+            else:
+                out = self._changes_row(spark, df, snap_since)
         if h1 is not None:
             # rows at-or-below the until-horizon are dead at `until` — a row
             # both changed and truncated inside the window never reaches the
@@ -1375,11 +1405,36 @@ class LakeTable:
             .select(self.key, mk, *pcols, F.lit(1).alias("_has_n"))
             .join(eff.select(self.key), self.key, "left_semi")
         )
+        ptypes = {f.name: f.dataType for f in df.schema.fields}
+        return self._member_diff(
+            nm, om, eff.select(self.key, "op", "warc_ts", "pos", "_commit_sid"),
+            mk, pcols, ptypes,
+        )
+
+    def _member_diff(
+        self,
+        nm: DataFrame | None,
+        om: DataFrame | None,
+        ev: DataFrame,
+        mk: str,
+        pcols: list[str],
+        ptypes: dict,
+    ) -> DataFrame:
+        """Shared member-granular classification (window-winner and
+        state-diff paths): full-outer join new members ``nm`` (key, mk,
+        *pcols, _has_n) against old members ``om`` (key, mk, *_o_pcols,
+        _has_o); unchanged members are suppressed by null-safe payload
+        equality; delete rows carry the OLD member's payload (a mirror
+        deletes by its stored id); every emitted row picks up the key's
+        event columns from ``ev`` (key, op, warc_ts, pos, _commit_sid)."""
         if om is None:
-            ptypes = {f.name: f.dataType for f in df.schema.fields}
             fo = nm.withColumn("_has_o", F.lit(None).cast("int"))
             for c in pcols:
                 fo = fo.withColumn(f"_o_{c}", F.lit(None).cast(ptypes[c]))
+        elif nm is None:
+            fo = om.withColumn("_has_n", F.lit(None).cast("int"))
+            for c in pcols:
+                fo = fo.withColumn(c, F.lit(None).cast(ptypes[c]))
         else:
             fo = nm.join(om, [self.key, mk], "full_outer")
         same = F.struct(*[F.col(c) for c in pcols]).eqNullSafe(
@@ -1391,8 +1446,6 @@ class LakeTable:
             .when(~same, F.lit("update"))
         )
         changed = fo.withColumn("_change_type", ct).where(ct.isNotNull())
-        # delete rows carry the OLD member's payload (mirror deletes by its
-        # stored id); insert/update carry the new member's
         proj = [
             F.col(self.key),
             F.col(mk),
@@ -1404,11 +1457,189 @@ class LakeTable:
             ],
             F.col("_change_type"),
         ]
-        return changed.select(*proj).join(
-            eff.select(self.key, "op", "warc_ts", "pos", "_commit_sid"),
-            self.key,
-            "inner",
+        return changed.select(*proj).join(ev, self.key, "inner")
+
+    def _changes_state_diff(
+        self,
+        spark: SparkSession,
+        win_files: list[str],
+        sidecars: list[str],
+        snap_since: dict | None,
+        snap_until: dict,
+        member_key: str | None,
+    ) -> DataFrame:
+        """Feed classification for windows containing replace commits: the
+        touched-key set (window files' keys ∪ the replace sidecars) is
+        probed against BOTH snapshots and the two states are diffed —
+        insert/update/delete per key (row mode) or per member (set mode),
+        identical rows/members suppressed by null-safe equality. A replace
+        is not LWW-ordered (it can change a payload without touching the
+        order key), so the diff compares FULL rows, not orders; emitted
+        rows carry ``_commit_sid = until`` (a rewrite has no meaningful
+        per-row commit attribution — the window's end is the cursor).
+        Cost: O(window files + sidecars) key scan + two bloom-probed reads
+        restricted to those keys — never O(table)."""
+        schema = [tuple(c) for c in snap_until["schema"]]
+        key = self.key
+        until = int(snap_until["snapshot_id"])
+        parts = []
+        if win_files:
+            parts.append(self._read_files(spark, win_files, schema).select(key))
+        for sc in sidecars:
+            parts.append(
+                spark.read.parquet(sc).select(
+                    F.col(key).cast(dict(schema)[key]).alias(key)
+                )
+            )
+        keys_df = parts[0]
+        for p in parts[1:]:
+            keys_df = keys_df.unionByName(p)
+        keys_df = keys_df.distinct()
+
+        def probed(snap):
+            if snap is None:
+                return None
+            probe = build_key_probe(
+                spark,
+                keys_df,
+                key,
+                [(self, list(range(self.n_buckets)))],
+                snapshots={self.path: snap},
+            )
+            # row_filter stays True: the diff needs EXACTLY the touched
+            # keys' resolved rows from both snapshots
+            return self._read_resolved(
+                spark, snap, self._entries(snap), probe_keys=probe
+            )
+
+        post = probed(snap_until)
+        pre = probed(snap_since)
+
+        def live(df):
+            if df is None:
+                return None
+            if "is_deleted" in df.columns:
+                df = df.where(F.coalesce(F.col("is_deleted"), F.lit(0)) == 0)
+            return df
+
+        post, pre = live(post), live(pre)
+        sid_col = F.lit(until).cast("bigint").alias("_commit_sid")
+        if self.mode == "row":
+            pcols = [n for n, _ in schema if n != key]
+            tmap = {n: t for n, t in schema}
+
+            def pack(df, alias):
+                if df is None:
+                    return None
+                return df.select(
+                    key, F.struct(*[F.col(c) for c in pcols]).alias(alias)
+                )
+
+            n, o = pack(post, "_n"), pack(pre, "_o")
+            null_struct = F.lit(None).cast(
+                "struct<" + ", ".join(f"`{c}`: {tmap[c]}" for c in pcols) + ">"
+            )
+            if n is None and o is None:
+                return (
+                    spark.createDataFrame([], ", ".join(f"`{c}` {t}" for c, t in schema))
+                    .withColumn("_change_type", F.lit(None).cast("string"))
+                    .withColumn("_commit_sid", F.lit(None).cast("bigint"))
+                )
+            if o is None:
+                fo = n.withColumn("_o", null_struct)
+            elif n is None:
+                fo = o.withColumn("_n", null_struct)
+            else:
+                fo = n.join(o, [key], "full_outer")
+            ct = (
+                F.when(F.col("_n").isNull(), F.lit("delete"))
+                .when(F.col("_o").isNull(), F.lit("insert"))
+                .when(~F.col("_n").eqNullSafe(F.col("_o")), F.lit("update"))
+            )
+            pay = F.when(ct == "delete", F.col("_o")).otherwise(F.col("_n"))
+            return (
+                fo.withColumn("_change_type", ct)
+                .where(ct.isNotNull())
+                .select(
+                    key,
+                    *[pay[c].alias(c) for c in pcols],
+                    "_change_type",
+                    sid_col,
+                )
+            )
+        # set mode: member diff of the two states
+        mk = member_key
+        meta_cols = (key, mk, "op", "warc_ts", "pos", "is_deleted")
+        pcols = [n for n, _ in schema if n not in meta_cols]
+        from pyspark.sql.types import StructType
+
+        ptypes = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(", ".join(f"`{c}` {t}" for c, t in schema))
+        }
+
+        def meta_of(df):
+            if df is None:
+                return None
+            return df.groupBy(key).agg(
+                F.max(
+                    F.struct(
+                        _order_key().alias("k"),
+                        F.col("op").alias("op"),
+                        F.col("warc_ts").alias("warc_ts"),
+                        F.col("pos").alias("pos"),
+                    )
+                ).alias("m")
+            ).select(key, "m.op", "m.warc_ts", "m.pos")
+
+        nmeta, ometa = meta_of(post), meta_of(pre)
+        if nmeta is None and ometa is None:
+            ev = None
+        elif ometa is None:
+            ev = nmeta
+        elif nmeta is None:
+            ev = ometa
+        else:
+            # event columns: the post state's set order where the key is
+            # still live, else the pre state's (full-key delete)
+            o2 = ometa.select(
+                key,
+                F.col("op").alias("_oop"),
+                F.col("warc_ts").alias("_ots"),
+                F.col("pos").alias("_opos"),
+            )
+            ev = (
+                nmeta.join(o2, [key], "full_outer")
+                .select(
+                    key,
+                    F.coalesce(F.col("op"), F.col("_oop")).alias("op"),
+                    F.coalesce(F.col("warc_ts"), F.col("_ots")).alias("warc_ts"),
+                    F.coalesce(F.col("pos"), F.col("_opos")).alias("pos"),
+                )
+            )
+        if ev is None:
+            return (
+                spark.createDataFrame([], ", ".join(f"`{c}` {t}" for c, t in schema))
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_sid", F.lit(None).cast("bigint"))
+            )
+        ev = ev.withColumn("_commit_sid", F.lit(until).cast("bigint"))
+        nm = (
+            None
+            if post is None
+            else post.select(key, mk, *pcols, F.lit(1).alias("_has_n"))
         )
+        om = (
+            None
+            if pre is None
+            else pre.select(
+                key,
+                mk,
+                *[F.col(c).alias(f"_o_{c}") for c in pcols],
+                F.lit(1).alias("_has_o"),
+            )
+        )
+        return self._member_diff(nm, om, ev, mk, pcols, ptypes)
 
     def read_bucket_winners(
         self,
@@ -2103,6 +2334,9 @@ class LakeTable:
         rows: DataFrame,
         keys: DataFrame,
         epoch_id: int | None = None,
+        *,
+        truncate: list | None = None,
+        extra_meta: dict | None = None,
     ) -> dict | None:
         """Concurrency wrapper around :meth:`_replace_keys_once`: a rewrite
         that loses the snapshot race re-plans against the fresh snapshot
@@ -2110,7 +2344,10 @@ class LakeTable:
         last_err = None
         for _ in range(5):
             try:
-                return self._replace_keys_once(spark, rows, keys, epoch_id)
+                return self._replace_keys_once(
+                    spark, rows, keys, epoch_id, truncate=truncate,
+                    extra_meta=extra_meta,
+                )
             except CommitConflictError as e:
                 last_err = e
         raise last_err
@@ -2121,6 +2358,9 @@ class LakeTable:
         rows: DataFrame,
         keys: DataFrame,
         epoch_id: int | None = None,
+        *,
+        truncate: list | None = None,
+        extra_meta: dict | None = None,
     ) -> dict | None:
         """Delete-then-insert per key: drop all existing rows whose key is in
         ``keys``, insert ``rows`` (reference SET1: delete-by-category then
@@ -2180,6 +2420,17 @@ class LakeTable:
         resolved = snap.get("resolved", True) if snap else True
         if any(keep.values()):
             resolved = False
+        # equality-delete sidecar (round 6): the keys this rewrite touched —
+        # the delete set ∪ the inserted rows' keys (a key in `keys` but not
+        # in `rows` VANISHES without leaving any row, so only this record
+        # makes the commit representable as a change feed; the Iceberg v2
+        # equality-delete-file twin). O(touched keys), written distributed.
+        sidecar_rel = os.path.join(
+            "_meta", "replaced", f"rk-{uuid.uuid4().hex}"
+        )
+        keys_b.select(self.key).union(rows.select(self.key)).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.path, sidecar_rel))
         return self._commit(
             spark,
             out,
@@ -2188,6 +2439,8 @@ class LakeTable:
             touched_buckets=touched,
             resolved=resolved,
             keep_files=keep,
+            truncate=truncate,
+            extra_meta=dict(extra_meta or {}, replaced_keys=sidecar_rel),
             kind="replace",
         )
 
@@ -2339,6 +2592,7 @@ class LakeTable:
             os.remove(os.path.join(self.meta_dir, f"snap-{sid:012d}.json"))
             removed += 1
         live_refs: set[str] = set()
+        live_rk: set[str] = set()
         for sid in keep:
             p = os.path.join(self.meta_dir, f"snap-{sid:012d}.json")
             if not os.path.exists(p):
@@ -2352,11 +2606,22 @@ class LakeTable:
             # read_changes windows inside keep_last must remain servable
             if isinstance(snap.get("added"), str):
                 live_refs.add(snap["added"])
+            rk = (snap.get("meta") or {}).get("replaced_keys")
+            if rk:
+                live_rk.add(os.path.basename(rk))
         for fn in list(os.listdir(self.manifest_dir)):
             if fn.endswith(".json") and fn not in live_refs:
                 os.remove(os.path.join(self.manifest_dir, fn))
                 self._manifest_cache.pop(fn, None)
                 removed += 1
+        # replaced-key sidecars of expired replace commits (incl. orphans of
+        # conflict-aborted attempts) go with their snapshots
+        rep_dir = os.path.join(self.meta_dir, "replaced")
+        if os.path.isdir(rep_dir):
+            for d in list(os.listdir(rep_dir)):
+                if d not in live_rk:
+                    shutil.rmtree(os.path.join(rep_dir, d), ignore_errors=True)
+                    removed += 1
         self._mark_expired(set())  # prune expired-ids of now-deleted snap jsons
         return removed
 

@@ -12,17 +12,19 @@ if a mirror maintained ONLY from the feed equals the source across epochs,
 compaction, vacuum-with-retention, truncate, and an unavailability re-sync,
 the feed is complete and exactly classified.
 
-Apply semantics:
+Apply semantics — REPLACE by key (the vector-store upsert-by-id model), not
+LWW merge:
 
-- **row-mode source** (pages): feed rows are already ≤1 per key; they merge
-  into the mirror under the same LWW order they carry. Deletes arrive as
-  ``is_deleted=1`` rows — tombstones in the mirror, exactly like the source.
+- **row-mode source** (pages): feed rows are ≤1 per key; each sync replaces
+  the mirror's row for every fed key (deletes = keys replaced with no row).
 - **set-mode source** (chunks; pass ``member_key``): feed rows are ≤1 per
   (key, member); the mirror keys them by a synthesized ``_member_id``
-  (``key\\x00member``) — one mirror row per set member, the vector-store
-  model (one vector per chunk_id). Member deletes carry the window event's
-  order, which strictly out-ranks the member's last upsert, so LWW applies
-  them cleanly.
+  (``key\\x00member``) — one mirror row per set member, one vector per
+  chunk_id downstream.
+- replace-apply is what makes REPLACE-window feeds (the state-diff path,
+  ``LakeTable._changes_state_diff``) applicable at all: a ``replace_keys``
+  rewrite can change a payload without advancing its LWW order key, so a
+  merge-based apply would tie and drop the update; overwrite-by-id cannot.
 - a TRUNCATE inside the window is consumed with ``allow_truncate=True`` and
   its horizon is re-applied to the mirror as snapshot metadata — the mirror
   kills the same rows the source did, without ever seeing them as feed rows.
@@ -160,11 +162,22 @@ class FeedMirror:
                 extra_meta=meta,
             )
             return
-        self.table.merge_lww(
+        # apply by REPLACE, not LWW merge: a feed row overwrites the mirror's
+        # row for that key unconditionally (the vector-store upsert-by-id
+        # model). This is what makes replace-window (state-diff) feeds
+        # applicable at all — a rewrite can change a payload WITHOUT
+        # advancing the LWW order key, so a merge-based apply would tie and
+        # lose the update. The feed-cursor meta rides the same commit, so
+        # apply + cursor advance are atomic; the mirror's epoch log dedups a
+        # crashed sync's re-entry.
+        rows = self._feed_rows(feed)
+        key = self.table.key
+        upserts = rows.where(F.col("is_deleted") == 0).drop("is_deleted")
+        self.table.replace_keys(
             spark,
-            self._feed_rows(feed),
+            upserts,
+            rows.select(key),
             epoch_id=self._next_epoch(),
-            pre_reduced=True,  # feed rows are ≤1 per mirror key by contract
             truncate=horizon,
             extra_meta=meta,
         )

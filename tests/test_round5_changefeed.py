@@ -145,7 +145,11 @@ def test_read_changes_truncate_guard(spark, tmp_path):
     assert t.current_snapshot()["truncate"] == [1, _us(5), 5]
 
 
-def test_read_changes_rejects_replace_rewrites_in_window(spark, tmp_path):
+def test_read_changes_serves_replace_rewrites_in_window(spark, tmp_path):
+    """Round 6 upgraded the round-5 refusal: a replace commit now records
+    its equality-delete sidecar and the window is served as a STATE DIFF
+    (tests/test_round6.py covers the full semantics); only a pre-round-6
+    replace commit (no sidecar) still refuses."""
     t = LakeTable(str(tmp_path / "rp"), key="url", n_buckets=4)
     t.merge_lww(spark, _mk(spark, [("a", "c", _ts(1), 1, 0, 10)]), epoch_id=0)
     base = t.current_snapshot()["snapshot_id"]
@@ -154,6 +158,18 @@ def test_read_changes_rejects_replace_rewrites_in_window(spark, tmp_path):
         _mk(spark, [("a", "c", _ts(2), 2, 0, 11)]),
         _mk(spark, [("a", "c", _ts(2), 2, 0, 11)]).select("url"),
     )
+    rows = {r["url"]: r for r in t.read_changes(spark, base).collect()}
+    assert rows["a"]["_change_type"] == "update" and rows["a"]["val"] == 11
+    # a LEGACY replace commit (sidecar record stripped) still refuses
+    import json as _json
+    import os as _os
+
+    cur = t.current_snapshot()
+    p = _os.path.join(t.meta_dir, f"snap-{cur['snapshot_id']:012d}.json")
+    cur["meta"].pop("replaced_keys")
+    for path in (p, t._current_path()):
+        with open(path, "w") as f:
+            _json.dump(cur, f)
     with pytest.raises(ChangeFeedUnavailableError):
         t.read_changes(spark, base)
 

@@ -274,3 +274,142 @@ def test_feed_leaves_no_cached_rdds(spark, tmp_path):
     t2.read_changes(spark, base, until, member_key="chunk_index").collect()
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+# ---------------------------------------------------------------------------
+# replace_keys windows (round 6): representable via the state-diff path, not
+# refused — a replace commit records an equality-delete sidecar of touched
+# keys; the feed diffs the probed pre/post states (a rewrite is not
+# LWW-ordered, so payload changes at an UNCHANGED order key must still feed).
+# ---------------------------------------------------------------------------
+
+_ROW_SCHEMA = (
+    "url string, op string, warc_ts timestamp, pos long, is_deleted int, val string"
+)
+
+
+def _rmk(spark, rows):
+    return spark.createDataFrame(rows, _ROW_SCHEMA)
+
+
+def test_row_feed_serves_replace_window_as_state_diff(spark, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=4, mode="row")
+    t.merge_lww(
+        spark,
+        _rmk(spark, [("a", "c", _ts(1), 1, 0, "va"), ("b", "c", _ts(2), 2, 0, "vb"),
+                     ("c", "c", _ts(3), 3, 0, "vc"), ("k", "c", _ts(4), 4, 0, "vk")]),
+        epoch_id=0,
+    )
+    base = t.current_snapshot()["snapshot_id"]
+    # the replace: a rewritten with a NEW payload at its OLD order key
+    # (LWW-undetectable), b rewritten IDENTICALLY (must suppress), c
+    # deleted (in keys, no row), d inserted; k untouched
+    t.replace_keys(
+        spark,
+        _rmk(spark, [("a", "c", _ts(1), 1, 0, "va2"), ("b", "c", _ts(2), 2, 0, "vb"),
+                     ("d", "c", _ts(9), 9, 0, "vd")]),
+        spark.createDataFrame([("a",), ("b",), ("c",)], "url string"),
+        epoch_id=1,
+    )
+    until = t.current_snapshot()["snapshot_id"]
+    rows = {r["url"]: r for r in t.read_changes(spark, base, until).collect()}
+    assert {u: r["_change_type"] for u, r in rows.items()} == {
+        "a": "update", "c": "delete", "d": "insert"
+    }
+    assert rows["a"]["val"] == "va2"       # payload change at unchanged order
+    assert rows["c"]["val"] == "vc"        # delete carries the OLD payload
+    assert all(r["_commit_sid"] == until for r in rows.values())
+    # live state sanity (untouched k kept, survivors correct)
+    live = {r["url"]: r["val"] for r in t.read(spark).collect()}
+    assert live == {"a": "va2", "b": "vb", "d": "vd", "k": "vk"}
+
+
+def test_row_feed_mixed_append_and_replace_window(spark, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=4, mode="row")
+    t.merge_lww(spark, _rmk(spark, [("a", "c", _ts(1), 1, 0, "va")]), epoch_id=0)
+    base = t.current_snapshot()["snapshot_id"]
+    t.merge_lww(spark, _rmk(spark, [("e", "c", _ts(5), 5, 0, "ve")]), epoch_id=1)
+    t.replace_keys(
+        spark,
+        _rmk(spark, []),
+        spark.createDataFrame([("a",)], "url string"),  # delete a, no reinsert
+        epoch_id=2,
+    )
+    until = t.current_snapshot()["snapshot_id"]
+    rows = {r["url"]: r["_change_type"] for r in t.read_changes(spark, base, until).collect()}
+    # append-committed e (insert) AND replace-deleted a (delete), one window
+    assert rows == {"a": "delete", "e": "insert"}
+
+
+def test_set_feed_serves_replace_window_member_diff(spark, tmp_path):
+    t = LakeTable(str(tmp_path / "chunks"), key="url", n_buckets=4, mode="set")
+    t.merge_sets(
+        spark,
+        _mk(spark, _set("a", "c", 1, 1, {0: "a0", 1: "a1"}) + _set("b", "c", 2, 2, {0: "b0"})),
+        epoch_id=0, pre_reduced=True,
+    )
+    base = t.current_snapshot()["snapshot_id"]
+    # replace a's set wholesale at the SAME order key: member 0 unchanged,
+    # member 1 changed, member 2 added; b fully deleted
+    t.replace_keys(
+        spark,
+        _mk(spark, _set("a", "c", 1, 1, {0: "a0", 1: "A1", 2: "a2"})),
+        spark.createDataFrame([("a",), ("b",)], "url string"),
+        epoch_id=1,
+    )
+    until = t.current_snapshot()["snapshot_id"]
+    rows = {
+        (r["url"], r["chunk_index"]): r
+        for r in t.read_changes(spark, base, until, member_key="chunk_index").collect()
+    }
+    assert {k: r["_change_type"] for k, r in rows.items()} == {
+        ("a", 1): "update", ("a", 2): "insert", ("b", 0): "delete",
+    }
+    assert rows[("a", 1)]["content"] == "A1"
+    assert rows[("b", 0)]["content"] == "b0"  # old payload on the delete
+
+
+def test_mirror_tracks_source_across_replace_window(spark, tmp_path):
+    from changedatacapture_spark.streaming.mirror import FeedMirror
+
+    src = LakeTable(str(tmp_path / "src"), key="url", n_buckets=4, mode="row")
+    mir = FeedMirror(src, str(tmp_path / "mir"))
+    src.merge_lww(
+        spark,
+        _rmk(spark, [("a", "c", _ts(1), 1, 0, "va"), ("b", "c", _ts(2), 2, 0, "vb")]),
+        epoch_id=0,
+    )
+    assert mir.sync(spark) == "applied"
+    # rewrite a's payload at its unchanged order; delete b — a merge-based
+    # mirror apply would TIE on a and keep the stale value
+    src.replace_keys(
+        spark,
+        _rmk(spark, [("a", "c", _ts(1), 1, 0, "va2")]),
+        spark.createDataFrame([("a",), ("b",)], "url string"),
+        epoch_id=1,
+    )
+    assert mir.sync(spark) == "applied"
+    assert mir.diff_vs_source(spark) == 0
+    assert {r["url"]: r["val"] for r in mir.table.read(spark).collect()} == {"a": "va2"}
+
+
+def test_expired_replace_sidecar_refuses_feed(spark, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=4, mode="row")
+    t.merge_lww(spark, _rmk(spark, [("a", "c", _ts(1), 1, 0, "va")]), epoch_id=0)
+    base = t.current_snapshot()["snapshot_id"]
+    t.replace_keys(
+        spark,
+        _rmk(spark, [("a", "c", _ts(1), 1, 0, "va2")]),
+        spark.createDataFrame([("a",)], "url string"),
+        epoch_id=1,
+    )
+    t.merge_lww(spark, _rmk(spark, [("z", "c", _ts(8), 8, 0, "vz")]), epoch_id=2)
+    # expire history: only the newest snapshots survive -> the replace
+    # commit's sidecar is reclaimed with it
+    t.expire_snapshots(keep_last=1)
+    import os as _os
+
+    rep = _os.path.join(t.meta_dir, "replaced")
+    assert not _os.path.isdir(rep) or not _os.listdir(rep)
+    with pytest.raises(ChangeFeedUnavailableError):
+        t.read_changes(spark, base)
