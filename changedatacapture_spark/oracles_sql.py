@@ -482,6 +482,70 @@ ORACLE_SQL: dict[str, str] = {
         WHERE f.n_content IS NULL OR f.o_content IS NULL
            OR f.n_content <> f.o_content
     """,
+    # round 6: replace-window change feed — the window holds an append
+    # commit (pos%4==1 half, LWW-merged) AND a replace_keys rewrite planned
+    # on the base state (abs(val_cents)%5==0 → val_cents+100000 at the
+    # UNCHANGED order key; %5==1 → deleted). A rewrite is not LWW-ordered,
+    # so the engine serves the window as a STATE DIFF; the oracle rebuilds
+    # both states (LWW fold + the same rewrite algebra) and diffs them:
+    # delete rows carry the OLD payload, identical rows are suppressed,
+    # commit_off = 2 (the window's end — a rewrite has no per-row commit)
+    "cdc_replace_feed": f"""
+        WITH env AS ({_ENV}),
+        pre AS (
+          SELECT url, op, warc_us, pos, val_cents FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+            FROM env WHERE pos % 2 = 0
+          ) WHERE rn = 1
+        ),
+        prelive AS (SELECT * FROM pre WHERE op <> 'd'),
+        mid AS (
+          SELECT url, op, warc_us, pos, val_cents FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY url ORDER BY warc_us DESC, pos DESC) AS rn
+            FROM env WHERE pos % 2 = 0 OR pos % 4 = 1
+          ) WHERE rn = 1
+        ),
+        midlive AS (SELECT * FROM mid WHERE op <> 'd'),
+        a AS (
+          SELECT url, op, warc_us, pos,
+                 CAST(val_cents + 100000 AS BIGINT) AS val_cents
+          FROM prelive WHERE abs(val_cents) % 5 = 0
+        ),
+        touched AS (
+          SELECT url FROM a
+          UNION SELECT url FROM prelive WHERE abs(val_cents) % 5 = 1
+        ),
+        post AS (
+          SELECT * FROM midlive WHERE url NOT IN (SELECT url FROM touched)
+          UNION ALL SELECT * FROM a
+        ),
+        fo AS (
+          SELECT COALESCE(n.url, o.url) AS url,
+                 n.url IS NOT NULL AS has_n, o.url IS NOT NULL AS has_o,
+                 n.op AS n_op, n.warc_us AS n_us,
+                 n.pos AS n_pos, n.val_cents AS n_val,
+                 o.op AS o_op, o.warc_us AS o_us,
+                 o.pos AS o_pos, o.val_cents AS o_val
+          FROM post n FULL OUTER JOIN prelive o ON n.url = o.url
+        )
+        SELECT url,
+               CASE WHEN NOT has_n THEN 'delete'
+                    WHEN NOT has_o THEN 'insert'
+                    ELSE 'update' END AS change_type,
+               CASE WHEN NOT has_n THEN o_op ELSE n_op END AS last_op,
+               CASE WHEN NOT has_n THEN o_us ELSE n_us END AS warc_us,
+               CASE WHEN NOT has_n THEN o_pos ELSE n_pos END AS pos,
+               CASE WHEN NOT has_n THEN o_val ELSE n_val END AS val_cents,
+               CAST(2 AS BIGINT) AS commit_off
+        FROM fo
+        WHERE NOT has_n OR NOT has_o
+           OR n_op IS DISTINCT FROM o_op
+           OR n_us IS DISTINCT FROM o_us
+           OR n_pos IS DISTINCT FROM o_pos
+           OR n_val IS DISTINCT FROM o_val
+    """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
     # truncate-then-rebuild: the engine's snapshot horizon (op='t') must
     # equal the LWW fold over only the events strictly above the horizon

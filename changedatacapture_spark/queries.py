@@ -969,6 +969,65 @@ def cdc_chunk_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replace_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across a window containing a ``replace_keys`` rewrite
+    (round 6): the even-pos half merges as the base state; the window then
+    holds BOTH an append commit (the pos%4==1 half) and a replace commit
+    that rewrites every base-live key with ``abs(val_cents)%5==0`` to
+    ``val_cents+100000`` at its UNCHANGED order key (LWW-undetectable) and
+    deletes every one with ``%5==1`` (in the delete set, no row). Because a
+    rewrite is not LWW-ordered, ``read_changes`` serves the whole window as
+    a STATE DIFF of the two snapshots, probed to exactly the touched keys
+    (window files' keys ∪ the replace commit's equality-delete sidecar):
+    insert/update/delete per key, identical rows suppressed, deletes
+    carrying the OLD payload, every row stamped ``_commit_sid = until``
+    (commit_off = 2). The oracle recomputes both states in SQL (LWW fold +
+    the same rewrite/delete algebra) and diffs them. This is the Iceberg v2
+    equality-delete changelog-read contract; the reference's sync loop
+    (incremental_pinecone_updater.py:97-202) needs exactly this to survive
+    a backfill rewrite."""
+    import tempfile
+
+    from .sinks.lake import LakeTable
+
+    env = _lake_env(spark, sf_dir)
+    table = LakeTable(tempfile.mkdtemp(prefix="cdc_repl_"), key="url", n_buckets=8)
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(2)) == 0), epoch_id=0)
+    base = table.current_snapshot()["snapshot_id"]
+    table.merge_lww(spark, env.where(F.pmod("pos", F.lit(4)) == 1), epoch_id=1)
+    # the rewrite plan, derived from the BASE state's live winners (the
+    # backfill-job model: read a snapshot, rewrite some rows in place)
+    pre_live = (
+        env.where(F.pmod("pos", F.lit(2)) == 0)
+        .groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("op", "warc_ts", "pos", "is_deleted", "val_cents"),
+                F.struct(F.unix_micros("warc_ts"), "pos"),
+            ).alias("_w")
+        )
+        .select("url", "_w.*")
+        .where(F.col("is_deleted") == 0)
+    )
+    rewrite = pre_live.where(F.pmod(F.abs("val_cents"), F.lit(5)) == 0).withColumn(
+        "val_cents", F.col("val_cents") + F.lit(100000)
+    )
+    del_keys = pre_live.where(F.pmod(F.abs("val_cents"), F.lit(5)) == 1).select("url")
+    table.replace_keys(
+        spark, rewrite, rewrite.select("url").unionByName(del_keys), epoch_id=2
+    )
+    got = table.read_changes(spark, base)
+    return got.select(
+        "url",
+        F.col("_change_type").alias("change_type"),
+        F.col("op").alias("last_op"),
+        F.unix_micros("warc_ts").alias("warc_us"),
+        "pos",
+        "val_cents",
+        (F.col("_commit_sid") - F.lit(base)).cast("bigint").alias("commit_off"),
+    )
+
+
 QUERIES = {
     "cdc_envelope": cdc_envelope,
     "cdc_lww_winners": cdc_lww_winners,
@@ -984,6 +1043,7 @@ QUERIES = {
     "cdc_read_since": cdc_read_since,
     "cdc_changes_feed": cdc_changes_feed,
     "cdc_chunk_changes": cdc_chunk_changes,
+    "cdc_replace_feed": cdc_replace_feed,
     "cdc_range_slice": cdc_range_slice,
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,
