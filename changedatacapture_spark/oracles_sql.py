@@ -546,6 +546,16 @@ ORACLE_SQL: dict[str, str] = {
            OR n_pos IS DISTINCT FROM o_pos
            OR n_val IS DISTINCT FROM o_val
     """,
+    # feed-driven mirror: a table maintained ONLY by applying read_changes
+    # windows (per-epoch polls + a compact-only window) must equal the plain
+    # LWW fold's live winners; src_diff is the engine's distributed
+    # exceptAll-both-ways count vs the source (0 on equality)
+    "cdc_mirror_state": f"""
+        WITH w AS ({_WINNERS})
+        SELECT url, op AS last_op, warc_us, pos, val_cents,
+               CAST(0 AS BIGINT) AS src_diff
+        FROM w WHERE op <> 'd'
+    """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
     # truncate-then-rebuild: the engine's snapshot horizon (op='t') must
     # equal the LWW fold over only the events strictly above the horizon
