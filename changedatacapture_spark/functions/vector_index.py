@@ -156,8 +156,13 @@ class IncrementalVectorIndex:
         replaced: DataFrame | None = None,
         epoch_id: int | None = None,
         truncate: list | None = None,
+        extra_meta: dict | None = None,
     ):
         """Apply one CDC epoch to the index.
+
+        ``extra_meta`` rides the commit's snapshot ``meta`` (e.g. a feed
+        consumer's durable cursor — streaming.mirror.VectorFeedMirror), so
+        apply + cursor advance stay atomic.
 
         ``truncate``: a TRUNCATE horizon observed in this epoch — recorded
         on the index table like on the data lakes, so vectors of urls the
@@ -214,7 +219,12 @@ class IncrementalVectorIndex:
         # moved id's tombstone+insert pair is intentional (different buckets)
         try:
             return self.table.merge_lww(
-                spark, rows, epoch_id=epoch_id, pre_reduced=True, truncate=truncate
+                spark,
+                rows,
+                epoch_id=epoch_id,
+                pre_reduced=True,
+                truncate=truncate,
+                extra_meta=extra_meta,
             )
         finally:
             if persisted:

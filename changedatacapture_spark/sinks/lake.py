@@ -95,6 +95,7 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..operators.evolution import widen_type
 from ..operators.lww import _order_key
@@ -1039,11 +1040,25 @@ class LakeTable:
         *,
         allow_truncate: bool = False,
         member_key: str | None = None,
+        include_old: bool = False,
     ) -> DataFrame | None:
         """Net-effect change feed over a snapshot window — the Iceberg/Delta
         changelog-read surface, so a downstream mirror (the reference's
         Pinecone sync, incremental_pinecone_updater.py:97-202) consumes
         commits instead of rescanning the table.
+
+        ``include_old=True`` adds an ``_old`` struct column — the PREIMAGE
+        (Delta CDF's ``update_preimage``, Debezium's ``before``): for
+        update/delete rows the row's (row mode) or member's (set mode)
+        state at ``since``; null for inserts. Row mode packs every non-key
+        schema column; set mode packs the member's payload columns (the old
+        order columns are not retained by the member diff). A consumer that
+        must retract by a DERIVED old identity — e.g. tombstone the OLD
+        ``chunk_id``'s vector in its OLD LSH bucket when an update moved it
+        (streaming.mirror.VectorFeedMirror) — needs exactly this. Costs one
+        wider pre-state read in row mode (full columns instead of
+        ``is_deleted``); free in set mode (the member diff already joins
+        the old payload).
 
         - **row mode** (the pages table): one row per key whose TABLE STATE
           differs between ``since`` and ``until``, with ``_change_type`` ∈
@@ -1197,7 +1212,8 @@ class LakeTable:
             # doesn't apply — serve the window as a STATE DIFF between the
             # two snapshots instead, probed to exactly the touched keys
             out = self._changes_state_diff(
-                spark, win_files, sidecars, snap_since, snap_until, member_key
+                spark, win_files, sidecars, snap_since, snap_until, member_key,
+                include_old=include_old,
             )
         else:
             df = self._read_files(spark, win_files, schema)
@@ -1210,9 +1226,13 @@ class LakeTable:
                 ).cast("bigint"),
             )
             if self.mode == "set":
-                out = self._changes_set(spark, df, snap_since, member_key)
+                out = self._changes_set(
+                    spark, df, snap_since, member_key, include_old=include_old
+                )
             else:
-                out = self._changes_row(spark, df, snap_since)
+                out = self._changes_row(
+                    spark, df, snap_since, include_old=include_old
+                )
         if h1 is not None:
             # rows at-or-below the until-horizon are dead at `until` — a row
             # both changed and truncated inside the window never reaches the
@@ -1241,12 +1261,23 @@ class LakeTable:
         return probe
 
     def _changes_row(
-        self, spark: SparkSession, df: DataFrame, snap_since: dict | None
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        snap_since: dict | None,
+        include_old: bool = False,
     ) -> DataFrame:
         """Row-mode feed classification (see :meth:`read_changes`)."""
         # window winner per key: LWW order; the commit id breaks exact order
         # ties (a cross-epoch duplicate redelivery outside the epoch log)
         non_key = [c for c in df.columns if c != self.key]
+        # the preimage struct packs every non-key TABLE column (no
+        # _commit_sid — that is feed metadata, not state)
+        old_cols = [c for c in non_key if c != "_commit_sid"]
+        old_type = StructType(
+            [f for f in df.schema.fields if f.name in set(old_cols)]
+        )
+        null_old = F.lit(None).cast(old_type).alias("_old")
         order = F.struct(_order_key().alias("o"), F.col("_commit_sid").alias("c"))
         win = (
             df.groupBy(self.key)
@@ -1258,31 +1289,53 @@ class LakeTable:
             if "is_deleted" in df.columns
             else F.lit(0)
         )
+
+        def inserts_only(w):
+            out = w.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+            return out.withColumn("_old", null_old) if include_old else out
+
         if snap_since is None:
             # empty pre-state: every live winner is an insert; tombstone
             # winners are deletes of never-live keys → no-ops
-            return win.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+            return inserts_only(win)
         probe = self._pre_state_probe(spark, win.select(self.key), snap_since)
         pre = self._read_resolved(
             spark,
             snap_since,
             self._entries(snap_since),
-            columns=["is_deleted"],
+            # the preimage needs the full old row; classification alone only
+            # its deletion flag + order
+            columns=None if include_old else ["is_deleted"],
             probe_keys=probe,
         )
         if pre is None:
             pre2 = None
         else:
+            pre_extra = []
+            if include_old:
+                # a column evolved AFTER `since` is absent from the pre
+                # frame — its preimage is null by definition
+                pre_extra = [
+                    F.struct(
+                        *[
+                            (
+                                F.col(c) if c in pre.columns else F.lit(None)
+                            ).cast(old_type[c].dataType).alias(c)
+                            for c in old_cols
+                        ]
+                    ).alias("_pold")
+                ]
             pre2 = pre.select(
                 F.col(self.key),
                 _order_key().alias("_po"),
                 F.coalesce(F.col("is_deleted"), F.lit(0)).alias("_pdel")
                 if "is_deleted" in pre.columns
                 else F.lit(0).alias("_pdel"),
+                *pre_extra,
             )
         w2 = win.withColumn("_wo", _order_key())
         if pre2 is None:
-            out = w2.where(wdel == 0).withColumn("_change_type", F.lit("insert"))
+            out = inserts_only(w2)
         else:
             j = w2.join(pre2, self.key, "left")
             pre_live = F.col("_po").isNotNull() & (F.col("_pdel") == 0)
@@ -1297,7 +1350,11 @@ class LakeTable:
                 .withColumn("_change_type", ct)
                 .where(F.col("_change_type").isNotNull())
             )
-        return out.drop("_wo", "_po", "_pdel")
+            if include_old:
+                out = out.withColumn(
+                    "_old", F.when(pre_live, F.col("_pold")).otherwise(null_old)
+                )
+        return out.drop("_wo", "_po", "_pdel", "_pold")
 
     def _changes_set(
         self,
@@ -1305,6 +1362,7 @@ class LakeTable:
         df: DataFrame,
         snap_since: dict | None,
         member_key: str,
+        include_old: bool = False,
     ) -> DataFrame:
         """Set-mode feed classification at MEMBER granularity (see
         :meth:`read_changes`): the window reduces to each key's winning SET
@@ -1408,7 +1466,7 @@ class LakeTable:
         ptypes = {f.name: f.dataType for f in df.schema.fields}
         return self._member_diff(
             nm, om, eff.select(self.key, "op", "warc_ts", "pos", "_commit_sid"),
-            mk, pcols, ptypes,
+            mk, pcols, ptypes, include_old=include_old,
         )
 
     def _member_diff(
@@ -1419,6 +1477,7 @@ class LakeTable:
         mk: str,
         pcols: list[str],
         ptypes: dict,
+        include_old: bool = False,
     ) -> DataFrame:
         """Shared member-granular classification (window-winner and
         state-diff paths): full-outer join new members ``nm`` (key, mk,
@@ -1426,7 +1485,9 @@ class LakeTable:
         _has_o); unchanged members are suppressed by null-safe payload
         equality; delete rows carry the OLD member's payload (a mirror
         deletes by its stored id); every emitted row picks up the key's
-        event columns from ``ev`` (key, op, warc_ts, pos, _commit_sid)."""
+        event columns from ``ev`` (key, op, warc_ts, pos, _commit_sid).
+        ``include_old`` adds the ``_old`` payload-struct preimage (null on
+        inserts) — already joined here, so it costs nothing extra."""
         if om is None:
             fo = nm.withColumn("_has_o", F.lit(None).cast("int"))
             for c in pcols:
@@ -1457,6 +1518,13 @@ class LakeTable:
             ],
             F.col("_change_type"),
         ]
+        if include_old:
+            proj.append(
+                F.when(
+                    F.col("_has_o").isNotNull(),
+                    F.struct(*[F.col(f"_o_{c}").alias(c) for c in pcols]),
+                ).alias("_old")
+            )
         return changed.select(*proj).join(ev, self.key, "inner")
 
     def _changes_state_diff(
@@ -1467,6 +1535,7 @@ class LakeTable:
         snap_since: dict | None,
         snap_until: dict,
         member_key: str | None,
+        include_old: bool = False,
     ) -> DataFrame:
         """Feed classification for windows containing replace commits: the
         touched-key set (window files' keys ∪ the replace sidecars) is
@@ -1540,11 +1609,14 @@ class LakeTable:
                 "struct<" + ", ".join(f"`{c}`: {tmap[c]}" for c in pcols) + ">"
             )
             if n is None and o is None:
-                return (
+                empty = (
                     spark.createDataFrame([], ", ".join(f"`{c}` {t}" for c, t in schema))
                     .withColumn("_change_type", F.lit(None).cast("string"))
                     .withColumn("_commit_sid", F.lit(None).cast("bigint"))
                 )
+                if include_old:
+                    empty = empty.withColumn("_old", null_struct)
+                return empty
             if o is None:
                 fo = n.withColumn("_o", null_struct)
             elif n is None:
@@ -1557,6 +1629,7 @@ class LakeTable:
                 .when(~F.col("_n").eqNullSafe(F.col("_o")), F.lit("update"))
             )
             pay = F.when(ct == "delete", F.col("_o")).otherwise(F.col("_n"))
+            extra = [F.col("_o").alias("_old")] if include_old else []
             return (
                 fo.withColumn("_change_type", ct)
                 .where(ct.isNotNull())
@@ -1565,14 +1638,13 @@ class LakeTable:
                     *[pay[c].alias(c) for c in pcols],
                     "_change_type",
                     sid_col,
+                    *extra,
                 )
             )
         # set mode: member diff of the two states
         mk = member_key
         meta_cols = (key, mk, "op", "warc_ts", "pos", "is_deleted")
         pcols = [n for n, _ in schema if n not in meta_cols]
-        from pyspark.sql.types import StructType
-
         ptypes = {
             f.name: f.dataType
             for f in StructType.fromDDL(", ".join(f"`{c}` {t}" for c, t in schema))
@@ -1618,11 +1690,19 @@ class LakeTable:
                 )
             )
         if ev is None:
-            return (
+            empty = (
                 spark.createDataFrame([], ", ".join(f"`{c}` {t}" for c, t in schema))
                 .withColumn("_change_type", F.lit(None).cast("string"))
                 .withColumn("_commit_sid", F.lit(None).cast("bigint"))
             )
+            if include_old:
+                empty = empty.withColumn(
+                    "_old",
+                    F.lit(None).cast(StructType(
+                        [StructField(c, ptypes[c]) for c in pcols]
+                    )),
+                )
+            return empty
         ev = ev.withColumn("_commit_sid", F.lit(until).cast("bigint"))
         nm = (
             None
@@ -1639,7 +1719,9 @@ class LakeTable:
                 F.lit(1).alias("_has_o"),
             )
         )
-        return self._member_diff(nm, om, ev, mk, pcols, ptypes)
+        return self._member_diff(
+            nm, om, ev, mk, pcols, ptypes, include_old=include_old
+        )
 
     def read_bucket_winners(
         self,

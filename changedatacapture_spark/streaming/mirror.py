@@ -244,3 +244,177 @@ class FeedMirror:
         a = src.select(*cols)
         b = mir.select(*cols)
         return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+class VectorFeedMirror:
+    """Feed-driven downstream VECTOR INDEX — the literal analogue of the
+    reference's Pinecone updater loop (incremental_pinecone_updater.py:
+    97-202 tail changes, :245-277 upsert changed vectors / delete stale
+    ids, :300+ full re-sync when the incremental path can't be trusted):
+    tail the set-mode chunks table's member-granular change feed into a
+    SEPARATE :class:`~..functions.vector_index.IncrementalVectorIndex`.
+
+    Per sync (one poll of ``read_changes(member_key=..., include_old=True)``):
+
+    - insert/update members upsert their NEW vector into its bucket;
+    - update/delete members tombstone the OLD ``chunk_id`` in the OLD
+      embedding's bucket — derivable ONLY from the feed's ``_old``
+      preimage (a content edit changes the chunk_id and can move the
+      vector across LSH buckets; without the preimage the stale id would
+      survive as a live search hit);
+    - unchanged members were suppressed upstream, so an unedited chunk's
+      vector is never re-upserted (the reference's skip);
+    - a truncate horizon inside the window rides the index commit and
+      kills unmentioned urls' vectors at probe time;
+    - the durable cursor (``feed_cursor``) rides the SAME index commit
+      (``extra_meta``), so apply + cursor advance are atomic and a crashed
+      consumer resumes exactly once (the index table's epoch log dedups
+      a replayed window).
+
+    :class:`~..sinks.lake.ChangeFeedUnavailableError` → :meth:`resync`:
+    wipe the index and rebuild from a pinned-snapshot read of the source.
+
+    All distributed: O(feed) work per sync, no driver-side row state.
+    """
+
+    def __init__(self, source: LakeTable, path: str, *, member_key: str = "chunk_index",
+                 n_planes: int = 8, dim: int | None = None, centroids=None):
+        from ..functions.vector_index import IncrementalVectorIndex
+
+        assert source.mode == "set", "VectorFeedMirror consumes a set-mode chunks table"
+        self.source = source
+        self.member_key = member_key
+        self.path = os.path.abspath(path)
+        self._index_kw = dict(n_planes=n_planes, dim=dim, centroids=centroids)
+        self.index = IncrementalVectorIndex(self.path, **self._index_kw)
+
+    @property
+    def cursor(self) -> int:
+        snap = self.index.table.current_snapshot()
+        return int((snap or {}).get("meta", {}).get("feed_cursor", 0))
+
+    def _next_epoch(self) -> int:
+        snap = self.index.table.current_snapshot()
+        if snap is None:
+            return 0
+        eps = [int(e) for e in snap.get("epochs", {})]
+        floor = int(snap.get("epoch_floor", -1))
+        return max(eps + [floor]) + 1
+
+    def sync(self, spark: SparkSession) -> str:
+        """One consumer poll. Returns 'noop' | 'applied' | 'resync'."""
+        cur = self.source.current_snapshot()
+        if cur is None:
+            return "noop"
+        until = int(cur["snapshot_id"])
+        since = self.cursor
+        if until <= since:
+            return "noop"
+        try:
+            feed = self.source.read_changes(
+                spark,
+                since,
+                until,
+                allow_truncate=True,
+                member_key=self.member_key,
+                include_old=True,
+            )
+        except ChangeFeedUnavailableError:
+            self.resync(spark)
+            return "resync"
+        horizon = (self.source.snapshot(until) or {}).get("truncate")
+        self._apply(spark, feed, until, horizon)
+        return "applied"
+
+    def _apply(self, spark: SparkSession, feed: DataFrame | None, until: int,
+               horizon: list | None) -> None:
+        meta = {"feed_cursor": until}
+        if feed is None:
+            # commits but zero net member changes — advance the cursor with
+            # an empty index epoch (dim-less virgin index: upsert skips the
+            # commit, the cursor stays put, and the next poll re-reads a
+            # wider window — harmless, nothing was lost)
+            empty = spark.createDataFrame(
+                [],
+                "chunk_id string, url string, op string, warc_ts timestamp, "
+                "pos long, embedding array<float>",
+            )
+            self.index.upsert(
+                spark, empty, None, epoch_id=self._next_epoch(),
+                truncate=horizon, extra_meta=meta,
+            )
+            return
+        feed = feed.persist()  # one window scan feeds both branches below
+        try:
+            key = self.source.key
+            new_vecs = (
+                feed.where(F.col("_change_type") != "delete")
+                .where(F.col("embedding").isNotNull())
+                .select("chunk_id", F.col(key).alias("url"),
+                        "op", "warc_ts", "pos", "embedding")
+            )
+            replaced = None
+            if self.index.dim is not None:
+                # a virgin index holds no stale rows (and its only possible
+                # window — cursor 0 — is insert-only, no preimages); with
+                # dim known, bucket the OLD embeddings to route tombstones
+                old = feed.where(
+                    F.col("_old").isNotNull() & F.col("_old.embedding").isNotNull()
+                )
+                replaced = (
+                    old.withColumn("_old_emb", F.col("_old.embedding"))
+                    .withColumn("bucket", self.index.bucket_of("_old_emb"))
+                    .select(
+                        F.col("_old.chunk_id").alias("chunk_id"),
+                        F.col(key).alias("url"),
+                        "op", "warc_ts", "pos", "bucket",
+                    )
+                )
+            self.index.upsert(
+                spark, new_vecs, replaced, epoch_id=self._next_epoch(),
+                truncate=horizon, extra_meta=meta,
+            )
+        finally:
+            feed.unpersist()
+
+    def resync(self, spark: SparkSession) -> None:
+        """Full rebuild from a pinned source snapshot (the reference's
+        re-sync escape hatch): wipe the index, bulk-upsert every live
+        vector, set the cursor to that snapshot — all in one commit."""
+        from ..functions.vector_index import IncrementalVectorIndex
+
+        cur = self.source.current_snapshot()
+        shutil.rmtree(self.path, ignore_errors=True)
+        self.index = IncrementalVectorIndex(self.path, **self._index_kw)
+        if cur is None:
+            return
+        sid = int(cur["snapshot_id"])
+        src = self.source.read(spark, snapshot_id=sid)
+        meta = {"feed_cursor": sid}
+        if src is None:
+            return  # virgin source: cursor 0 is already correct
+        rows = src.where(F.col("embedding").isNotNull()).select(
+            "chunk_id", F.col(self.source.key).alias("url"),
+            "op", "warc_ts", "pos", "embedding",
+        )
+        self.index.upsert(
+            spark, rows, None, epoch_id=self._next_epoch(),
+            truncate=cur.get("truncate"), extra_meta=meta,
+        )
+
+    def diff_vs_source(self, spark: SparkSession) -> int:
+        """|source live vectors Δ index live vectors| on (chunk_id,
+        embedding) — 0 ⇔ every search candidate set is exactly the source's
+        current chunk vectors (two distributed exceptAll counts)."""
+        src = self.source.read(spark)
+        idx = self.index.live_rows(spark)
+        a = (
+            None
+            if src is None
+            else src.where(F.col("embedding").isNotNull())
+            .select("chunk_id", "embedding")
+        )
+        b = None if idx is None else idx.select("chunk_id", "embedding")
+        if a is None or b is None:
+            return (0 if a is None else a.count()) + (0 if b is None else b.count())
+        return a.exceptAll(b).count() + b.exceptAll(a).count()
