@@ -310,6 +310,33 @@ def run_bench(cores: int, sf_dir: str, only: list[str] | None = None, n_events: 
             if not only or "lake_chunk_changes" in only:
                 chunk_feed()  # untimed warmup
             timed("lake_chunk_changes", chunk_feed)
+
+            # round 6 part 2: the feed-driven downstream vector index (the
+            # reference's Pinecone updater loop as a consumer). Bootstrap at
+            # the mid-stream snapshot (bulk load, recorded untimed in
+            # extras), then TIME the incremental sync over the consumer-lag
+            # window — member feed with preimages → upsert new vectors +
+            # tombstone moved/stale ids in their OLD buckets.
+            if not only or "lake_vector_mirror_sync" in only:
+                from changedatacapture_spark.streaming.mirror import (
+                    VectorFeedMirror,
+                )
+
+                vm = VectorFeedMirror(
+                    chunks_t,
+                    os.path.join(full_state["lake"], "_bench_vec_mirror"),
+                    n_planes=6,
+                )
+                t0 = time.time()
+                vm.resync(spark, snapshot_id=cbase)
+                extras["vector_mirror_bootstrap_s"] = round(time.time() - t0, 3)
+
+                def vector_mirror_sync():
+                    assert vm.sync(spark) == "applied"
+
+                timed("lake_vector_mirror_sync", vector_mirror_sync)
+                lr = vm.index.live_rows(spark)  # verification, not sync cost
+                extras["vector_mirror_rows"] = lr.count() if lr is not None else 0
             # round 6 removed the feed's persist (ADVICE r5) — no cache to
             # clear between bench queries anymore
             shutil.rmtree(full_state["lake"], ignore_errors=True)

@@ -377,13 +377,19 @@ class VectorFeedMirror:
         finally:
             feed.unpersist()
 
-    def resync(self, spark: SparkSession) -> None:
+    def resync(self, spark: SparkSession, snapshot_id: int | None = None) -> None:
         """Full rebuild from a pinned source snapshot (the reference's
         re-sync escape hatch): wipe the index, bulk-upsert every live
-        vector, set the cursor to that snapshot — all in one commit."""
+        vector, set the cursor to that snapshot — all in one commit.
+        ``snapshot_id`` pins a HISTORICAL snapshot (default: current) — a
+        consumer bootstrapping at a known point before tailing the feed."""
         from ..functions.vector_index import IncrementalVectorIndex
 
-        cur = self.source.current_snapshot()
+        cur = (
+            self.source.current_snapshot()
+            if snapshot_id is None
+            else self.source.snapshot(snapshot_id)
+        )
         shutil.rmtree(self.path, ignore_errors=True)
         self.index = IncrementalVectorIndex(self.path, **self._index_kw)
         if cur is None:
