@@ -438,6 +438,13 @@ class LakeTable:
         snap = self.current_snapshot()
         if snap is not None and "n_buckets" in snap:
             self.n_buckets = int(snap["n_buckets"])
+        # resolution semantics (row/set/replace) are layout too: like
+        # n_buckets, an existing table's persisted mode wins over the
+        # constructor default, so reopening by path alone (e.g.
+        # scripts/run_mirror.py) can never mis-resolve a set table as rows
+        # (pre-round-6 snapshots lack the field — the ctor argument stands)
+        if snap is not None and "mode" in snap:
+            self.mode = snap["mode"]
 
     # -- snapshot log ---------------------------------------------------------
 
@@ -2218,6 +2225,7 @@ class LakeTable:
                 "parent": parent,
                 "schema": [list(c) for c in self._current_write_schema],
                 "n_buckets": self.n_buckets,
+                "mode": self.mode,
                 "buckets": refs,
                 "epochs": epochs,
                 "resolved": resolved,

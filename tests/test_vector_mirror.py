@@ -235,3 +235,24 @@ def test_vector_mirror_resyncs_after_vacuum(spark, vm_world):
     # force a non-empty window: one more chunks commit after the vacuum
     assert vm2.sync(spark) in ("resync", "noop")
     assert vm2.diff_vs_source(spark) == 0
+
+
+# ------------------------------------------------------- persisted table mode
+
+
+def test_reopen_by_path_adopts_persisted_mode_and_buckets(spark, tmp_path):
+    """Table mode (row/set/replace resolution semantics) is physical layout
+    like n_buckets: reopening a set-mode table by path with default ctor
+    args must adopt BOTH from the snapshot — scripts/run_mirror.py relies
+    on this to autodetect the source it tails."""
+    s = LakeTable(str(tmp_path / "t"), key="url", n_buckets=4, mode="set")
+    s.merge_sets(
+        spark,
+        _srows(spark, [("a", "c", 1, 1, 0, "a0", 0), ("a", "c", 1, 1, 1, "a1", 0)]),
+        epoch_id=0,
+        pre_reduced=True,
+    )
+    reopened = LakeTable(str(tmp_path / "t"))  # all defaults: row/16
+    assert reopened.mode == "set" and reopened.n_buckets == 4
+    # resolution actually behaves set-mode: both members of the set are live
+    assert reopened.read(spark).count() == 2
