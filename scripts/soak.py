@@ -125,7 +125,7 @@ def main():
     # — synced and proven equal to the source live set at every phase
     # checkpoint. A window the retention no longer serves comes back as
     # 'resync' (the full-rebuild escape hatch) and must STILL land equal.
-    from changedatacapture_spark.streaming.mirror import FeedMirror
+    from changedatacapture_spark.streaming.mirror import FeedMirror, VectorFeedMirror
 
     mirrors: dict = {}
     mirror_failures: list[str] = []
@@ -135,11 +135,21 @@ def main():
             for kind, src, mk in (
                 ("pages", m[t].pages, None),
                 ("chunks", m[t].chunks, "chunk_index"),
+                # the vector-store consumer (round 6 part 2): member feed
+                # with preimages → a separate IncrementalVectorIndex;
+                # diff_vs_source proves every live chunk vector mirrored
+                ("vectors", m[t].chunks, "VEC"),
             ):
                 k = (t, kind)
                 if k not in mirrors:
-                    mirrors[k] = FeedMirror(
-                        src, os.path.join(wd, "mirror", t, kind), member_key=mk
+                    mirrors[k] = (
+                        VectorFeedMirror(
+                            src, os.path.join(wd, "mirror", t, kind), n_planes=4
+                        )
+                        if mk == "VEC"
+                        else FeedMirror(
+                            src, os.path.join(wd, "mirror", t, kind), member_key=mk
+                        )
                     )
                 else:
                     mirrors[k].source = src  # fresh pipeline objects per phase
