@@ -296,6 +296,18 @@ def _incr_ann_sql(dim: int = 64, n_planes: int = 4, n_updates: int = 10) -> str:
     """
 
 
+def _raw_embed_expr(dim: int = 384) -> str:
+    """The md5-arithmetic raw-vector expression over a ``base`` column
+    (= md5 of the embedded text) — shared by every twin that recomputes
+    stub embeddings (see ``_embed_sql`` for the full derivation notes)."""
+    return f"""
+        list_transform(range({dim}), i ->
+          CAST((('0x' || substr(md5(base || chr(31) || CAST((i // 2) AS VARCHAR)),
+                                1 + 16 * (i % 2), 15))::BIGINT % 2000001)
+               - 1000000 AS DOUBLE))
+    """
+
+
 def _embed_sql(dim: int = 384) -> str:
     """DuckDB twin of queries.embed_documents: the md5-arithmetic embedding
     stub reproduced end to end. base = md5(text) hex, hashed once; dim pair
@@ -307,12 +319,7 @@ def _embed_sql(dim: int = 384) -> str:
     summation order), the normalized values are cast to FLOAT exactly like
     Spark's array<float> storage, and the projection (dim, norm_micro, md5
     of the micro-unit ints) matches the Spark side byte for byte."""
-    raw = f"""
-        list_transform(range({dim}), i ->
-          CAST((('0x' || substr(md5(base || chr(31) || CAST((i // 2) AS VARCHAR)),
-                                1 + 16 * (i % 2), 15))::BIGINT % 2000001)
-               - 1000000 AS DOUBLE))
-    """
+    raw = _raw_embed_expr(dim)
     return f"""
         WITH d AS (
           SELECT doc_id, md5(text) AS base FROM documents ORDER BY doc_id LIMIT 50
@@ -555,6 +562,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT url, op AS last_op, warc_us, pos, val_cents,
                CAST(0 AS BIGINT) AS src_diff
         FROM w WHERE op <> 'd'
+    """,
+    # feed-driven vector index: the mirror's INDEX content after a window
+    # of updates (new chunk_id per edited doc — the old id dies via the
+    # feed's _old preimage) and deletes must equal the expected final
+    # corpus re-embedded from scratch, every float32 byte (the Pinecone
+    # state after the reference's updater loop)
+    "cdc_vector_mirror": f"""
+        WITH d0 AS (
+          SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40
+        ),
+        fin AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN text || ' v2' ELSE text END
+                   AS content
+          FROM d0 WHERE doc_id % 4 <> 1
+        ),
+        c AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS url,
+                 md5('doc-' || CAST(doc_id AS VARCHAR) || ':' || content)
+                   AS chunk_id,
+                 md5(content) AS base
+          FROM fin
+        ),
+        r AS (SELECT url, chunk_id, {_raw_embed_expr()} AS raw FROM c),
+        n AS (
+          SELECT url, chunk_id, raw,
+                 sqrt(list_dot_product(raw, raw)) AS nrm
+          FROM r
+        ),
+        v AS (
+          SELECT url, chunk_id,
+                 list_transform(raw, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+                   AS e
+          FROM n
+        )
+        SELECT url, chunk_id,
+               CAST(384 AS INTEGER) AS dim,
+               CAST(round(sqrt(list_dot_product(e, e)) * 1000000) AS BIGINT)
+                 AS norm_micro,
+               md5(array_to_string(
+                 list_transform(e, x -> CAST(CAST(round(x * 1000000) AS BIGINT)
+                                             AS VARCHAR)), ',')) AS vec_md5,
+               CAST(0 AS BIGINT) AS src_diff
+        FROM v
     """,
     "cdc_range_slice": f"WITH env AS ({_ENV}) SELECT * FROM env WHERE pos BETWEEN 1000 AND 1100",
     # truncate-then-rebuild: the engine's snapshot horizon (op='t') must

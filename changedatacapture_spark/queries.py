@@ -1072,6 +1072,114 @@ def cdc_mirror_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_vector_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feed-driven VECTOR index in the hard signal (round 6 part 2):
+    40 documents embed (md5-arithmetic stub) into a set-mode chunks lake
+    (one member per url, ``chunk_id = md5(url:content)``); a window then
+    UPDATES the even docs (content + ' v2' → new chunk_id, old id must be
+    tombstoned via the feed's ``_old`` preimage) and DELETES the
+    doc_id%4==1 docs. A :class:`~.streaming.mirror.VectorFeedMirror`
+    bootstraps at the base snapshot and syncs the window; the returned
+    frame is the INDEX's live vectors under the driver-hashable projection
+    (dim / norm_micro / md5-of-micro-units — array<float> cannot be
+    canonicalized) plus ``src_diff`` (distributed exceptAll count vs the
+    source chunks table, 0 ⇔ exact). The oracle recomputes the expected
+    final corpus and every float32 byte of every vector in SQL — the
+    reference's Pinecone state after its updater loop
+    (incremental_pinecone_updater.py:97-277), verified byte-for-byte."""
+    import tempfile
+
+    from .sinks.lake import LakeTable
+    from .streaming.mirror import VectorFeedMirror
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .select("doc_id", "text")
+    )
+
+    def chunk_rows(content_col, us, sel=None):
+        d = docs if sel is None else docs.where(sel)
+        return d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit("u").alias("op"),
+            F.timestamp_micros(F.lit(us)).alias("warc_ts"),
+            F.col("doc_id").cast("long").alias("pos"),
+            F.lit(0).alias("is_deleted"),
+            F.lit(0).cast("int").alias("chunk_index"),
+            content_col.alias("content"),
+        ).withColumn(
+            "chunk_id", F.md5(F.concat_ws(":", "url", "content"))
+        ).withColumn("embedding", transform.embed_stub_udf(F.col("content")))
+
+    table = LakeTable(
+        tempfile.mkdtemp(prefix="cdc_vmgate_"), key="url", n_buckets=8, mode="set"
+    )
+    table.merge_sets(
+        spark, chunk_rows(F.col("text"), 1), epoch_id=0, pre_reduced=True
+    )
+    base = table.current_snapshot()["snapshot_id"]
+    upd = chunk_rows(
+        F.concat(F.col("text"), F.lit(" v2")), 2, F.pmod("doc_id", F.lit(2)) == 0
+    )
+    dels = (
+        docs.where(F.pmod("doc_id", F.lit(4)) == 1)
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit("d").alias("op"),
+            F.timestamp_micros(F.lit(2)).alias("warc_ts"),
+            F.col("doc_id").cast("long").alias("pos"),
+            F.lit(1).alias("is_deleted"),
+            F.lit(None).cast("int").alias("chunk_index"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit(None).cast("string").alias("chunk_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    )
+    table.merge_sets(
+        spark, upd.unionByName(dels), epoch_id=1, pre_reduced=True
+    )
+    vm = VectorFeedMirror(
+        table, tempfile.mkdtemp(prefix="cdc_vmgate_ix_"), n_planes=4
+    )
+    vm.resync(spark, snapshot_id=base)
+    assert vm.sync(spark) == "applied"
+    n_diff = vm.diff_vs_source(spark)
+    live = vm.index.live_rows(spark)
+    e = F.col("embedding")
+    as_double = lambda x: x.cast("double")  # noqa: E731
+    return live.select(
+        "url",
+        "chunk_id",
+        F.size(e).alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(e, lambda x: as_double(x) * as_double(x)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("norm_micro"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    e,
+                    lambda x: F.round(as_double(x) * 1_000_000)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+            )
+        ).alias("vec_md5"),
+        F.lit(n_diff).cast("bigint").alias("src_diff"),
+    )
+
+
 QUERIES = {
     "cdc_envelope": cdc_envelope,
     "cdc_lww_winners": cdc_lww_winners,
@@ -1089,6 +1197,7 @@ QUERIES = {
     "cdc_chunk_changes": cdc_chunk_changes,
     "cdc_replace_feed": cdc_replace_feed,
     "cdc_mirror_state": cdc_mirror_state,
+    "cdc_vector_mirror": cdc_vector_mirror,
     "cdc_range_slice": cdc_range_slice,
     "cdc_lineage_by_segment": cdc_lineage_by_segment,
     "cdc_noop_updates": cdc_noop_updates,
