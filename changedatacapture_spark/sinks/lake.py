@@ -923,10 +923,23 @@ class LakeTable:
         narrow-typed column while every observation parses (widen-only
         votes), and the cast is skipped for columns typed string."""
         et = (snap or {}).get("evolved_types") or {}
+        old_fields = (
+            {f.name for f in df.schema["_old"].dataType.fields}
+            if "_old" in df.columns
+            else set()
+        )
         for c, t in et.items():
+            q = c.replace("`", "``")
             if t != "string" and c in df.columns:
-                q = c.replace("`", "``")
                 df = df.withColumn(c, F.expr(f"try_cast(`{q}` as {t})"))
+            if t != "string" and c in old_fields:
+                # the preimage must serve the same logical types as the row
+                df = df.withColumn(
+                    "_old",
+                    F.col("_old").withField(
+                        c, F.expr(f"try_cast(_old.`{q}` as {t})")
+                    ),
+                )
         return df
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:

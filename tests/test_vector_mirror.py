@@ -256,3 +256,78 @@ def test_reopen_by_path_adopts_persisted_mode_and_buckets(spark, tmp_path):
     assert reopened.mode == "set" and reopened.n_buckets == 4
     # resolution actually behaves set-mode: both members of the set are live
     assert reopened.read(spark).count() == 2
+
+
+def test_preimage_serves_typed_evolved_columns(spark, tmp_path):
+    """The `_old` preimage must serve evolved columns at the same logical
+    type as the live row (read-time try_cast reaches inside the struct)."""
+    t = LakeTable(str(tmp_path / "t"), key="url", n_buckets=4)
+    r0 = _rows(spark, [("a", "c", 1, 1, 10, 0)]).withColumn("x_n", F.lit("5"))
+    t.merge_lww(spark, r0, epoch_id=0, evolved_types={"x_n": "bigint"})
+    base = t.current_snapshot()["snapshot_id"]
+    r1 = _rows(spark, [("a", "u", 2, 2, 11, 0)]).withColumn("x_n", F.lit("7"))
+    t.merge_lww(spark, r1, epoch_id=1, evolved_types={"x_n": "bigint"})
+    f = t.read_changes(spark, base, include_old=True)
+    assert f.schema["x_n"].dataType.simpleString() == "bigint"
+    old_t = {x.name: x.dataType.simpleString() for x in f.schema["_old"].dataType}
+    assert old_t["x_n"] == "bigint"
+    row = f.collect()[0]
+    assert row["x_n"] == 7 and row["_old"]["x_n"] == 5
+    # inserts keep a null preimage through the cast
+    t2 = LakeTable(str(tmp_path / "t2"), key="url", n_buckets=4)
+    t2.merge_lww(spark, r0, epoch_id=0, evolved_types={"x_n": "bigint"})
+    f2 = t2.read_changes(spark, 0, include_old=True)
+    r2 = f2.collect()[0]
+    assert r2["_change_type"] == "insert" and r2["_old"] is None
+
+
+def test_vector_mirror_ivf_mode(spark, tmp_path):
+    """VectorFeedMirror with IVF centroids (the data-adaptive bucketing
+    family): the Arrow cell-assignment path routes both the NEW vectors and
+    the preimage tombstones; equality and search must hold exactly as in
+    LSH mode."""
+    import numpy as np
+
+    from changedatacapture_spark.streaming.mirror import VectorFeedMirror
+
+    def srows_vec(tag, n, us):
+        return (
+            spark.range(n)
+            .select(
+                F.concat(F.lit("u"), F.col("id")).alias("url"),
+                F.lit("u").alias("op"),
+                F.timestamp_micros(F.lit(us)).alias("warc_ts"),
+                (F.col("id") + us).alias("pos"),
+                F.lit(0).cast("int").alias("chunk_index"),
+            )
+            .withColumn("chunk_id", F.md5(F.concat("url", F.lit(tag))))
+            .withColumn("content", F.concat(F.lit(tag), "url"))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.xxhash64(F.col("chunk_id"), i) % 1000).cast(
+                        "float"
+                    )
+                    / 1000.0,
+                ),
+            )
+            .withColumn("is_deleted", F.lit(0))
+        )
+
+    t = LakeTable(str(tmp_path / "c"), key="url", n_buckets=4, mode="set")
+    t.merge_sets(spark, srows_vec("a", 300, 1), epoch_id=0, pre_reduced=True)
+    base = t.current_snapshot()["snapshot_id"]
+    t.merge_sets(spark, srows_vec("b", 120, 2), epoch_id=1, pre_reduced=True)
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(5, 8))
+    vm = VectorFeedMirror(t, str(tmp_path / "ix"), centroids=cents)
+    vm.resync(spark, snapshot_id=base)
+    assert vm.sync(spark) == "applied"
+    assert vm.diff_vs_source(spark) == 0
+    row = vm.index.live_rows(spark).first()
+    hit = vm.index.search(
+        spark, [float(x) for x in row["embedding"]], k=1, n_probes=5
+    ).first()
+    assert hit["chunk_id"] == row["chunk_id"] and hit["cos_micro"] == 1_000_000
