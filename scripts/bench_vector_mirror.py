@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--windows", default="1,8,24")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument(
+        "--compact-source", action="store_true",
+        help="compact the source lake after the build (feed windows survive "
+        "via retention_snapshots) — measures the pre-state probe at the "
+        "1-file-per-bucket floor",
+    )
     ap.add_argument("--workdir", default=f"/tmp/cdc_vmbench_{os.getpid()}")
     args = ap.parse_args()
     windows = [int(w) for w in args.windows.split(",")]
@@ -112,6 +118,8 @@ def main():
     build_s = round(time.time() - t0, 1)
     sids = sorted(t.committed_epochs().values())
     tip = sids[-1]
+    if args.compact_source:
+        t.compact(spark)
 
     results = {}
     for w in windows:
