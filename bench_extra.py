@@ -39,11 +39,13 @@ def noop_write(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def build_lake(spark, sf_dir, lake_dir, n_events):
+def build_lake(spark, sf_dir, lake_dir, n_events, noop_frac=0.0):
     from changedatacapture_spark.functions import transform
     from changedatacapture_spark.streaming.driver import CdcPipeline
 
-    log_dir = ensure_bench_log(spark, sf_dir, n_events, max(5_000, n_events // 10))
+    log_dir = ensure_bench_log(
+        spark, sf_dir, n_events, max(5_000, n_events // 10), noop_frac=noop_frac
+    )
     shutil.rmtree(lake_dir, ignore_errors=True)
     n_files = len([f for f in os.listdir(log_dir) if f.endswith(".parquet")])
     per_trigger = max(1, n_files // 4)
@@ -85,13 +87,14 @@ def main():
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--query", default=None, help="declared query name (query mode)")
     ap.add_argument("--out", default=None, help="plan output file")
+    ap.add_argument("--noop-frac", type=float, default=0.0)
     args = ap.parse_args()
 
     spark = build_spark(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         if args.mode == "build":
-            build_lake(spark, args.sf_dir, args.lake, args.events)
+            build_lake(spark, args.sf_dir, args.lake, args.events, args.noop_frac)
             return
 
         if args.mode in ("feed", "plans"):

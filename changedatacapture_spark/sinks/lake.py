@@ -428,6 +428,9 @@ class LakeTable:
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         self._manifest_cache: dict[str, list[dict]] = {}
+        # wall-clock of the last commit's write vs stats jobs (telemetry for
+        # the bench's phase attribution; no behavior rides on it)
+        self.last_commit_timings: dict[str, float] = {}
         self._expired_cache: tuple[int, set[int]] | None = None
         self._adopt_expired_list()
         # the key→bucket mapping is part of the table's physical layout: an
@@ -1061,6 +1064,7 @@ class LakeTable:
         allow_truncate: bool = False,
         member_key: str | None = None,
         include_old: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame | None:
         """Net-effect change feed over a snapshot window — the Iceberg/Delta
         changelog-read surface, so a downstream mirror (the reference's
@@ -1128,14 +1132,40 @@ class LakeTable:
         is consumed — a deliberate trade so a polling consumer never
         accumulates driver-owned cache entries it cannot release
         (ADVICE r5 low)."""
+        # subset co-partitioning (optimization round 7): the feed's member
+        # diff joins on (key, member) and its event attach on key; with
+        # Spark's default requireAllClusterKeysForCoPartition=true the
+        # planner refuses to reuse the winner-window's key-partitioning for
+        # either join and re-exchanges the full payload twice more (3 payload
+        # exchanges total). Subset co-partitioning is semantically exact for
+        # equi-joins (equal key ⇒ co-located ⇒ equal (key, member)
+        # co-located) and the key is high-cardinality here, so parallelism
+        # is unaffected. Measured: the member feed count drops 5.6s → 3.2s
+        # at the bench window. Session-scoped planner conf — set once, on
+        # the session that consumes feeds (it can only help other multi-key
+        # equi-joins whose children are already subset-partitioned).
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
         if self.mode == "set":
             assert member_key is not None, (
                 "set-mode read_changes needs member_key= (the within-set "
                 "member identity column, e.g. 'chunk_index')"
             )
+            # ``columns``: optional payload projection (set mode only) — the
+            # feed carries and DIFFS only these payload columns, so the
+            # window scan, the pre-state read, and every exchange move a
+            # fraction of the member bytes (guide §2.3 "project before the
+            # exchange"). Consumer contract: the subset must functionally
+            # determine the full member payload (identity-bearing columns —
+            # e.g. ``chunk_id``+``embedding``, both content-derived), else
+            # unchanged-member suppression weakens to subset equality.
+            # The full-payload default is the oracle-gated shape.
+            if columns is not None:
+                missing = set(columns) - set(c for c, _ in self.schema_columns())
+                assert not missing, f"unknown feed columns: {sorted(missing)}"
         else:
             assert self.mode == "row", "read_changes serves row/set-mode tables"
             assert member_key is None, "member_key applies to set-mode tables only"
+            assert columns is None, "columns= applies to set-mode feeds only"
         since = int(since_snapshot_id)
         cur = self.current_snapshot()
         if cur is None:
@@ -1180,6 +1210,15 @@ class LakeTable:
             )
         win_files: list[str] = []
         sidecars: list[str] = []  # replace commits' replaced-key sidecars
+        # per-bucket window ROW counts from the added manifests (free, driver
+        # side): the pre-state probe's is-pruning-even-possible gate. Row
+        # counts over-estimate distinct keys, so the gate errs toward
+        # skipping the probe job — above ~384 probes/bucket essentially
+        # every file bloom-hits anyway (build_key_probe's math), so a dense
+        # window (the low-lag steady case) pays NO probe job and loses no
+        # pruning; sparse windows — the 10^5-bucket production regime —
+        # keep full file pruning.
+        win_bucket_rows: dict[int, int] = {}
         for sid in range(since + 1, until + 1):
             s = snap_until if sid == until else self.snapshot(sid)
             if s is None:
@@ -1216,7 +1255,16 @@ class LakeTable:
             ref = s.get("added")
             if ref is None:
                 continue  # no-op epoch (empty append)
-            win_files += [self._abs(e["p"]) for e in self._load_manifest(ref)]
+            for e in self._load_manifest(ref):
+                win_files.append(self._abs(e["p"]))
+                b = int(e.get("b", -1))
+                if b >= 0:
+                    r = e.get("rows")
+                    # unknown row count → treat the bucket as dense (probe
+                    # skipped there; pruning lost, never correctness)
+                    win_bucket_rows[b] = win_bucket_rows.get(b, 0) + (
+                        int(r) if r is not None else 10**9
+                    )
         missing = [p for p in win_files if not os.path.exists(p)]
         if missing:
             raise ChangeFeedUnavailableError(
@@ -1233,7 +1281,7 @@ class LakeTable:
             # two snapshots instead, probed to exactly the touched keys
             out = self._changes_state_diff(
                 spark, win_files, sidecars, snap_since, snap_until, member_key,
-                include_old=include_old,
+                include_old=include_old, columns=columns,
             )
         else:
             df = self._read_files(spark, win_files, schema)
@@ -1247,11 +1295,14 @@ class LakeTable:
             )
             if self.mode == "set":
                 out = self._changes_set(
-                    spark, df, snap_since, member_key, include_old=include_old
+                    spark, df, snap_since, member_key,
+                    include_old=include_old, columns=columns,
+                    bucket_counts=win_bucket_rows,
                 )
             else:
                 out = self._changes_row(
-                    spark, df, snap_since, include_old=include_old
+                    spark, df, snap_since, include_old=include_old,
+                    bucket_counts=win_bucket_rows,
                 )
         if h1 is not None:
             # rows at-or-below the until-horizon are dead at `until` — a row
@@ -1261,7 +1312,11 @@ class LakeTable:
         return self._typed_view(out, snap_until)
 
     def _pre_state_probe(
-        self, spark: SparkSession, keys_df: DataFrame, snap_since: dict
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        snap_since: dict,
+        bucket_counts: dict[int, int] | None = None,
     ) -> KeyProbe:
         """The change feed's pre-window existence probe: bloom-prune snapshot
         ``since``'s files down to those that can hold the window's keys.
@@ -1275,6 +1330,7 @@ class LakeTable:
             keys_df,
             self.key,
             [(self, list(range(self.n_buckets)))],
+            bucket_counts=bucket_counts,
             snapshots={self.path: snap_since},
         )
         probe.row_filter = False
@@ -1286,6 +1342,7 @@ class LakeTable:
         df: DataFrame,
         snap_since: dict | None,
         include_old: bool = False,
+        bucket_counts: dict[int, int] | None = None,
     ) -> DataFrame:
         """Row-mode feed classification (see :meth:`read_changes`)."""
         # window winner per key: LWW order; the commit id breaks exact order
@@ -1318,7 +1375,12 @@ class LakeTable:
             # empty pre-state: every live winner is an insert; tombstone
             # winners are deletes of never-live keys → no-ops
             return inserts_only(win)
-        probe = self._pre_state_probe(spark, win.select(self.key), snap_since)
+        # probe keys = the raw window's distinct keys (identical key set to
+        # the winners'): the probe job then pays a key-only scan + distinct
+        # instead of re-executing the full-payload max_by aggregation
+        probe = self._pre_state_probe(
+            spark, df.select(self.key).distinct(), snap_since, bucket_counts
+        )
         pre = self._read_resolved(
             spark,
             snap_since,
@@ -1383,6 +1445,8 @@ class LakeTable:
         snap_since: dict | None,
         member_key: str,
         include_old: bool = False,
+        columns: list[str] | None = None,
+        bucket_counts: dict[int, int] | None = None,
     ) -> DataFrame:
         """Set-mode feed classification at MEMBER granularity (see
         :meth:`read_changes`): the window reduces to each key's winning SET
@@ -1400,7 +1464,26 @@ class LakeTable:
         assert mk in df.columns, f"member_key {mk!r} is not a table column"
         meta_cols = (self.key, mk, "op", "warc_ts", "pos", "is_deleted", "_commit_sid")
         pcols = [c for c in df.columns if c not in meta_cols]
+        if columns is not None:
+            keep = set(columns)
+            pcols = [c for c in pcols if c in keep]
         wdel = F.coalesce(F.col("is_deleted"), F.lit(0))
+
+        # Plan-shape note (optimization round 7): nothing here is persisted
+        # (read_changes contract), so every DataFrame referenced twice in the
+        # final plan RE-EXECUTES its subtree. The round-6 shape pre-filtered
+        # both member frames with `left_semi` joins against the effective-key
+        # frame and derived per-key metadata from the payload-shuffling
+        # window function — the effective-key subtree (which embeds the
+        # pre-state read) executed 3× and the window scan 4× per action.
+        # Those semi joins were semantically REDUNDANT with _member_diff's
+        # final inner join on the event frame (non-effective keys drop there
+        # either way), so they are gone; per-key window metadata is now a
+        # map-side-combined aggregation over the RAW window scan (column-
+        # pruned — no payload bytes), and the pre-state order probe is a
+        # separate key/order-only read. Result: the window files execute
+        # once wide + twice narrow, the pre-state once wide + once narrow,
+        # and the exchange count drops ~3× (plans/r07/).
 
         # winning set per key: all rows matching the key's max (order,
         # commit) — members share one order key per set by the merge_sets
@@ -1414,14 +1497,16 @@ class LakeTable:
             .where(F.col("_wk") == F.col("_mx"))
             .drop("_mx")
         )
-        # per-key window event metadata (one row per key — every row of the
-        # winning set carries identical values, so max is exact)
+        # per-key window event metadata, aggregated over the RAW window rows
+        # (one narrow map-side-combined agg — `_wk` leads the struct, so the
+        # max row is exactly the winning set's, and every row of a winning
+        # set carries identical remaining fields)
         meta_w = (
-            win.groupBy(self.key)
+            df.groupBy(self.key)
             .agg(
                 F.max(
                     F.struct(
-                        F.col("_wk").alias("k"),
+                        okey.alias("k"),
                         F.col("op").alias("op"),
                         F.col("warc_ts").alias("warc_ts"),
                         F.col("pos").alias("pos"),
@@ -1432,31 +1517,38 @@ class LakeTable:
             )
             .select(self.key, "m.*")
         )
+        om = None
         if snap_since is None:
             eff = meta_w.drop("k")
-            om = None
         else:
             probe = self._pre_state_probe(
-                spark, meta_w.select(self.key), snap_since
+                spark, df.select(self.key).distinct(), snap_since, bucket_counts
             )
+            entries = self._entries(snap_since)
             pre = self._read_resolved(
                 spark,
                 snap_since,
-                self._entries(snap_since),
+                entries,
                 columns=[mk] + pcols + ["is_deleted"],
                 probe_keys=probe,
             )
             if pre is None:
                 eff = meta_w.drop("k")
-                om = None
             else:
                 pdel = (
                     F.coalesce(F.col("is_deleted"), F.lit(0))
                     if "is_deleted" in pre.columns
                     else F.lit(0)
                 )
-                pre_meta = pre.groupBy(self.key).agg(
-                    F.max(_order_key()).alias("_po")
+                # per-key pre-state order from a key/order-only read (same
+                # files, same probe — tombstone rows included, as before);
+                # the wide `pre` frame is consumed exactly once (om below)
+                pre_meta = (
+                    self._read_resolved(
+                        spark, snap_since, entries, columns=[], probe_keys=probe
+                    )
+                    .groupBy(self.key)
+                    .agg(F.max(_order_key()).alias("_po"))
                 )
                 # effective keys: pre-state absent or strictly out-ranked;
                 # an exact order tie is a redelivered set → pre wins → no-op
@@ -1465,23 +1557,18 @@ class LakeTable:
                     .where(F.col("_po").isNull() | (F.col("k.o") > F.col("_po")))
                     .drop("k", "_po")
                 )
-                om = (
-                    pre.where(pdel == 0)
-                    .select(
-                        self.key,
-                        F.col(mk).alias(mk),
-                        *[F.col(c).alias(f"_o_{c}") for c in pcols],
-                        F.lit(1).alias("_has_o"),
-                    )
-                    .join(eff.select(self.key), self.key, "left_semi")
+                om = pre.where(pdel == 0).select(
+                    self.key,
+                    F.col(mk).alias(mk),
+                    *[F.col(c).alias(f"_o_{c}") for c in pcols],
+                    F.lit(1).alias("_has_o"),
                 )
-        # new members: the winning sets' live rows, restricted to effective
-        # keys (a tombstone winner contributes no member rows — its deletes
-        # come from the old side of the outer join)
-        nm = (
-            win.where(wdel == 0)
-            .select(self.key, mk, *pcols, F.lit(1).alias("_has_n"))
-            .join(eff.select(self.key), self.key, "left_semi")
+        # new members: the winning sets' live rows (a tombstone winner
+        # contributes no member rows — its deletes come from the old side of
+        # the outer join). Non-effective and non-window keys in either frame
+        # drop at _member_diff's final inner join on the event frame.
+        nm = win.where(wdel == 0).select(
+            self.key, mk, *pcols, F.lit(1).alias("_has_n")
         )
         ptypes = {f.name: f.dataType for f in df.schema.fields}
         return self._member_diff(
@@ -1556,6 +1643,7 @@ class LakeTable:
         snap_until: dict,
         member_key: str | None,
         include_old: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Feed classification for windows containing replace commits: the
         touched-key set (window files' keys ∪ the replace sidecars) is
@@ -1585,6 +1673,13 @@ class LakeTable:
             keys_df = keys_df.unionByName(p)
         keys_df = keys_df.distinct()
 
+        # ``columns`` (set mode): restrict the diffed payload — the probed
+        # state reads and every exchange then carry only the projection
+        # (same consumer contract as _changes_set)
+        read_cols = None
+        if columns is not None and self.mode == "set":
+            read_cols = [member_key] + list(columns) + ["is_deleted"]
+
         def probed(snap):
             if snap is None:
                 return None
@@ -1598,7 +1693,8 @@ class LakeTable:
             # row_filter stays True: the diff needs EXACTLY the touched
             # keys' resolved rows from both snapshots
             return self._read_resolved(
-                spark, snap, self._entries(snap), probe_keys=probe
+                spark, snap, self._entries(snap), columns=read_cols,
+                probe_keys=probe,
             )
 
         post = probed(snap_until)
@@ -1665,6 +1761,9 @@ class LakeTable:
         mk = member_key
         meta_cols = (key, mk, "op", "warc_ts", "pos", "is_deleted")
         pcols = [n for n, _ in schema if n not in meta_cols]
+        if columns is not None:
+            keep = set(columns)
+            pcols = [c for c in pcols if c in keep]
         ptypes = {
             f.name: f.dataType
             for f in StructType.fromDDL(", ".join(f"`{c}` {t}" for c, t in schema))
@@ -2068,9 +2167,13 @@ class LakeTable:
         # co-locate each bucket in one task → one file per touched bucket
         # (without this, every reduce task writes a sliver of every bucket:
         # tasks × buckets small files)
+        import time as _time
+
+        t0 = _time.monotonic()
         df.repartition(self.n_buckets, "_bucket").write.mode("overwrite").partitionBy(
             "_bucket"
         ).parquet(commit_dir)
+        self.last_commit_timings["write"] = round(_time.monotonic() - t0, 3)
         paths: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
@@ -2084,7 +2187,9 @@ class LakeTable:
             ]
         stats: dict[str, dict] = {}
         if self.file_stats and any(paths.values()):
+            t0 = _time.monotonic()
             stats = self._file_stats_job(df.sparkSession, commit_dir)
+            self.last_commit_timings["stats"] = round(_time.monotonic() - t0, 3)
         out: dict[str, list[dict]] = {}
         for b, ps in paths.items():
             out[b] = []

@@ -311,6 +311,13 @@ class VectorFeedMirror:
         if until <= since:
             return "noop"
         try:
+            # payload projection (round 7): the index consumes only
+            # (chunk_id, embedding) of each member — both are derived from
+            # the chunk's content (chunk_id = url+index, embedding =
+            # f(content)), so they determine the full payload and the
+            # pruned feed classifies/suppresses identically while the
+            # window scan, pre-state read and every exchange skip the
+            # content/section bytes (guide §2.3).
             feed = self.source.read_changes(
                 spark,
                 since,
@@ -318,6 +325,7 @@ class VectorFeedMirror:
                 allow_truncate=True,
                 member_key=self.member_key,
                 include_old=True,
+                columns=["chunk_id", "embedding"],
             )
         except ChangeFeedUnavailableError:
             self.resync(spark)
