@@ -445,8 +445,20 @@ class LakeTable:
         # n_buckets, an existing table's persisted mode wins over the
         # constructor default, so reopening by path alone (e.g.
         # scripts/run_mirror.py) can never mis-resolve a set table as rows
-        # (pre-round-6 snapshots lack the field — the ctor argument stands)
+        # (pre-round-6 snapshots lack the field — the ctor argument stands).
+        # A NON-default ctor mode that conflicts is a likely caller mistake
+        # (e.g. pointing a set-mode pipeline at a row table path) — adoption
+        # still wins, but loudly (ADVICE r6).
         if snap is not None and "mode" in snap:
+            if mode != "row" and snap["mode"] != mode:
+                import warnings
+
+                warnings.warn(
+                    f"LakeTable({self.path}): ctor mode={mode!r} conflicts "
+                    f"with the persisted mode {snap['mode']!r} — adopting "
+                    "the persisted mode (table layout wins)",
+                    stacklevel=2,
+                )
             self.mode = snap["mode"]
 
     # -- snapshot log ---------------------------------------------------------

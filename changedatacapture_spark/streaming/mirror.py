@@ -34,11 +34,13 @@ LWW merge:
   ``read()`` — the reference's "full re-sync" escape hatch.
 
 Idempotent + restartable: every apply records the consumed source snapshot id
-in the mirror snapshot's ``meta`` (``feed_cursor``), so a restarted consumer
-resumes from its durable cursor; re-applying an already-applied window is
-harmless by construction (same rows at the same LWW orders fold to the same
-state). Each sync is one commit — the mirror's own epoch log dedups crashes
-mid-apply.
+in the mirror snapshot's ``meta`` (``feed_cursor``) ON THE SAME COMMIT as the
+apply, so apply + cursor advance are atomic and a restarted consumer resumes
+from its durable cursor — the next poll's ``since == until`` makes a replayed
+window a no-op. That cursor atomicity IS the exactly-once mechanism (each
+sync mints a fresh epoch id, so the epoch log alone would not dedup a
+re-consumed window); re-applying an already-applied window would in any case
+be harmless by construction (replace-by-id overwrites with identical rows).
 """
 
 from __future__ import annotations
@@ -119,8 +121,9 @@ class FeedMirror:
         except ChangeFeedUnavailableError:
             self.resync(spark)
             return "resync"
-        snap_until = cur if until == int(cur["snapshot_id"]) else None
-        horizon = (snap_until or self.source.snapshot(until) or {}).get("truncate")
+        # `until` was assigned from cur["snapshot_id"] above, so cur IS the
+        # until snapshot (the r6 conditional re-deriving it was dead code)
+        horizon = cur.get("truncate")
         self._apply(spark, feed, until, horizon)
         return "applied"
 
@@ -168,8 +171,9 @@ class FeedMirror:
         # applicable at all — a rewrite can change a payload WITHOUT
         # advancing the LWW order key, so a merge-based apply would tie and
         # lose the update. The feed-cursor meta rides the same commit, so
-        # apply + cursor advance are atomic; the mirror's epoch log dedups a
-        # crashed sync's re-entry.
+        # apply + cursor advance are atomic — the next poll's since==until
+        # no-ops a replayed window (each sync mints a fresh epoch id, so
+        # cursor atomicity, not the epoch log, is the dedup mechanism).
         rows = self._feed_rows(feed)
         key = self.table.key
         upserts = rows.where(F.col("is_deleted") == 0).drop("is_deleted")
@@ -268,8 +272,9 @@ class VectorFeedMirror:
       kills unmentioned urls' vectors at probe time;
     - the durable cursor (``feed_cursor``) rides the SAME index commit
       (``extra_meta``), so apply + cursor advance are atomic and a crashed
-      consumer resumes exactly once (the index table's epoch log dedups
-      a replayed window).
+      consumer resumes exactly once — the next poll's ``since == until``
+      no-ops a replayed window (each sync mints a fresh epoch id, so the
+      cursor atomicity, not the epoch log, is the dedup mechanism).
 
     :class:`~..sinks.lake.ChangeFeedUnavailableError` → :meth:`resync`:
     wipe the index and rebuild from a pinned-snapshot read of the source.
@@ -387,10 +392,18 @@ class VectorFeedMirror:
 
     def resync(self, spark: SparkSession, snapshot_id: int | None = None) -> None:
         """Full rebuild from a pinned source snapshot (the reference's
-        re-sync escape hatch): wipe the index, bulk-upsert every live
-        vector, set the cursor to that snapshot — all in one commit.
-        ``snapshot_id`` pins a HISTORICAL snapshot (default: current) — a
-        consumer bootstrapping at a known point before tailing the feed."""
+        re-sync escape hatch): bulk-upsert every live vector and set the
+        cursor to that snapshot — all in one commit. ``snapshot_id`` pins a
+        HISTORICAL snapshot (default: current) — a consumer bootstrapping
+        at a known point before tailing the feed.
+
+        The replacement index is built in a SIBLING temp directory and
+        swapped into place with directory renames (ADVICE r6): a concurrent
+        searcher keeps reading the old index's files throughout the build
+        (POSIX unlinked-inode semantics), never an empty or half-built one,
+        and a crash mid-build leaves the old index fully intact (leftover
+        ``.resync-*`` dirs are reclaimed by the next resync). The only
+        non-atomic window left is the instant between the two renames."""
         from ..functions.vector_index import IncrementalVectorIndex
 
         cur = (
@@ -398,23 +411,34 @@ class VectorFeedMirror:
             if snapshot_id is None
             else self.source.snapshot(snapshot_id)
         )
-        shutil.rmtree(self.path, ignore_errors=True)
-        self.index = IncrementalVectorIndex(self.path, **self._index_kw)
         if cur is None:
+            shutil.rmtree(self.path, ignore_errors=True)
+            self.index = IncrementalVectorIndex(self.path, **self._index_kw)
             return
+        tmp = self.path + ".resync-tmp"
+        old = self.path + ".resync-old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        new_index = IncrementalVectorIndex(tmp, **self._index_kw)
         sid = int(cur["snapshot_id"])
         src = self.source.read(spark, snapshot_id=sid)
-        meta = {"feed_cursor": sid}
-        if src is None:
-            return  # virgin source: cursor 0 is already correct
-        rows = src.where(F.col("embedding").isNotNull()).select(
-            "chunk_id", F.col(self.source.key).alias("url"),
-            "op", "warc_ts", "pos", "embedding",
-        )
-        self.index.upsert(
-            spark, rows, None, epoch_id=self._next_epoch(),
-            truncate=cur.get("truncate"), extra_meta=meta,
-        )
+        if src is not None:
+            rows = src.where(F.col("embedding").isNotNull()).select(
+                "chunk_id", F.col(self.source.key).alias("url"),
+                "op", "warc_ts", "pos", "embedding",
+            )
+            new_index.upsert(
+                spark, rows, None, epoch_id=0,
+                truncate=cur.get("truncate"),
+                extra_meta={"feed_cursor": sid},
+            )
+        # src None (virgin source): cursor 0 is already correct — swap in
+        # the empty build either way
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.index = IncrementalVectorIndex(self.path, **self._index_kw)
 
     def diff_vs_source(self, spark: SparkSession) -> int:
         """|source live vectors Δ index live vectors| on (chunk_id,

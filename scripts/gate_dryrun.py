@@ -1,8 +1,9 @@
 """Dry-run of the driver's correctness gate at an arbitrary SF dir.
 
 Mirrors tests/test_queries_vs_duckdb.py (same canonicalization) but runs
-standalone so the full 45-gate sweep can be executed at sf0.01 — the SF the
-driver actually grades — without the pytest fixtures.
+standalone so the full gate sweep (every ORACLE_SQL entry, computed at
+runtime) can be executed at sf0.01 — the SF the driver actually grades —
+without the pytest fixtures.
 
 Usage: python scripts/gate_dryrun.py [--sf /root/testdata/sf0.01] [--only a,b]
 Prints one PASS/FAIL line per gate and a summary; exit code 1 on any FAIL.

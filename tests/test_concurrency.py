@@ -161,13 +161,15 @@ def test_append_retry_unions_concurrently_evolved_schema(spark, tmp_path):
     assert got["evo-0"] == "v" and got["b-0"] is None
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 _WORKER_SRC = '''
 """Two-process race worker: merge N disjoint epochs into a shared table."""
 import sys
 
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "@REPO_ROOT@")
 from changedatacapture_spark.sinks.lake import LakeTable
 
 path, tag, e0, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
@@ -213,8 +215,10 @@ def test_two_processes_interleaved_merges_lose_nothing(spark, tmp_path):
 
     wf = str(tmp_path / "worker.py")
     with open(wf, "w") as f:
-        f.write(_WORKER_SRC)
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+        # derive the repo root from this file's location (ADVICE r6: a
+        # hardcoded /root/repo silently imported the wrong tree elsewhere)
+        f.write(_WORKER_SRC.replace("@REPO_ROOT@", _REPO_ROOT))
+    env = dict(os.environ, PYTHONPATH=_REPO_ROOT)
     procs = [
         subprocess.Popen(
             [_sys.executable, wf, path, tag, str(e0), "4"],
