@@ -389,11 +389,15 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     compute-heavy per-row work (chunker UDF, shingle explode): the corpus
     parquet is a single small file, so the scan plans 1-2 input splits and
     everything downstream of it would run on 1-2 cores (guide §2.5 'input
-    skew'). Scale-adaptive — defaultParallelism, never a constant; row set
-    unchanged (and sort-before-repartition keeps the routing deterministic
-    under task retry). Measured: dedup_minhash 3.5s → 1.2s at sf0.1 on
-    local[32]."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    skew'). Scale-adaptive — defaultParallelism, never a constant; at a
+    scale factor whose scan already plans enough splits the repartition is
+    skipped entirely (no shuffle where none is needed); row set unchanged
+    (and sort-before-repartition keeps the routing deterministic under task
+    retry). Measured: dedup_minhash 3.5s → 1.2s at sf0.1 on local[32]."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def _sectioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
